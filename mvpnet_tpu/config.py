@@ -1,0 +1,284 @@
+"""Config system: frozen dataclasses + YAML overlays + dotted CLI overrides.
+
+TPU-native replacement for the reference's yacs CfgNode trees
+(``mvpnet/config/{sem_seg_2d,mvpnet_3d}.py`` + ``configs/scannet/*.yaml``,
+UNVERIFIED — see SURVEY.md §5 "Config/flag system"). Same capability surface:
+per-task defaults, YAML overlay (``merge_from_file``), CLI dotted overrides
+(``merge_from_list``), frozen after construction, serialized into the output
+dir. Implemented with plain dataclasses so configs are hashable pytree-static
+arguments to jitted functions.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Tuple
+
+import yaml
+
+
+# ---------------------------------------------------------------------------
+# Leaf config nodes
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """2D encoder-decoder (UNet over a from-scratch ResNet-34 encoder).
+
+    Mirrors the capability of the reference ``UNetResNet34``
+    (mvpnet/models/unet_resnet34.py, UNVERIFIED): seg logits head plus a
+    full-resolution feature map consumed by the 3D fusion stage.
+    """
+
+    in_channels: int = 3
+    num_classes: int = 20
+    base_channels: int = 64
+    # Channel widths of the 4 ResNet-34 stages.
+    stage_channels: Tuple[int, ...] = (64, 128, 256, 512)
+    # BasicBlock counts of the 4 ResNet-34 stages.
+    stage_blocks: Tuple[int, ...] = (3, 4, 6, 3)
+    decoder_channels: Tuple[int, ...] = (256, 128, 64, 64)
+    # Channels of the fusion feature map handed to the 3D net.
+    feature_channels: int = 64
+    norm: str = "batch"  # "batch" | "group"
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class AggregationConfig:
+    """kNN multi-view feature aggregation (reference ``FeatureAggregation``,
+    mvpnet/models/mvpnet_3d.py ~L? UNVERIFIED; SURVEY.md §2.2)."""
+
+    k: int = 3
+    mlp_channels: Tuple[int, ...] = (64, 64, 64)
+    reduction: str = "max"  # "max" | "sum" | "mean"
+    use_relative_xyz: bool = True
+
+
+@dataclass(frozen=True)
+class SetAbstractionConfig:
+    npoint: int = 1024
+    radius: float = 0.1
+    nsample: int = 32
+    mlp_channels: Tuple[int, ...] = (32, 32, 64)
+
+
+@dataclass(frozen=True)
+class PN2SSGConfig:
+    """PointNet++ single-scale-grouping segmentation net (reference
+    ``PN2SSG``, mvpnet/models/pn2ssg.py UNVERIFIED; semantics fixed by the
+    PointNet++ paper — SURVEY.md §2.2)."""
+
+    num_classes: int = 20
+    in_channels: int = 64  # fused 2D feature channels (0 for xyz-only)
+    sa: Tuple[SetAbstractionConfig, ...] = (
+        SetAbstractionConfig(1024, 0.1, 32, (32, 32, 64)),
+        SetAbstractionConfig(256, 0.2, 32, (64, 64, 128)),
+        SetAbstractionConfig(64, 0.4, 32, (128, 128, 256)),
+        SetAbstractionConfig(16, 0.8, 32, (256, 256, 512)),
+    )
+    fp_channels: Tuple[Tuple[int, ...], ...] = (
+        (256, 256),
+        (256, 128),
+        (128, 128),
+        (128, 128, 128),
+    )
+    head_channels: int = 128
+    dropout: float = 0.5
+    use_xyz: bool = True
+    norm: str = "batch"
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    name: str = "mvpnet_3d"  # "mvpnet_3d" | "sem_seg_2d" | "pn2ssg"
+    unet: UNetConfig = field(default_factory=UNetConfig)
+    aggregation: AggregationConfig = field(default_factory=AggregationConfig)
+    pn2: PN2SSGConfig = field(default_factory=PN2SSGConfig)
+    # Warm-start the 2D subnet from a 2D run's checkpoint (reference behavior:
+    # train_3d loads the 2D seg checkpoint; SURVEY.md §3.1).
+    pretrained_2d: str = ""
+    freeze_2d: bool = False
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    name: str = "synthetic"  # "scannet" | "synthetic"
+    root: str = "data/scannet"
+    num_points: int = 8192
+    chunk_size: float = 1.5  # meters (x, y)
+    chunk_stride: float = 0.5  # sliding-window stride at eval
+    chunk_margin: float = 0.2  # extra margin when masking points into a chunk
+    num_views_train: int = 3
+    num_views_eval: int = 5
+    image_height: int = 120
+    image_width: int = 160
+    num_classes: int = 20
+    ignore_label: int = -100
+    # Max candidate frames scored by greedy view selection.
+    max_candidate_frames: int = 64
+    # Augmentation (train): random z-rotation, flips, color jitter.
+    augment: bool = True
+    color_jitter: float = 0.4
+    flip_prob: float = 0.5
+    z_rot: bool = True
+    # host-side prefetch depth (double-buffered device_put)
+    prefetch: int = 2
+    num_workers: int = 8
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Optimizer/scheduler factory config (reference common/solver/build.py
+    UNVERIFIED; SURVEY.md §2.2 "Solver")."""
+
+    optimizer: str = "adam"  # "adam" | "sgd" | "adamw"
+    base_lr: float = 1e-3
+    weight_decay: float = 0.0
+    momentum: float = 0.9
+    scheduler: str = "step"  # "step" | "multistep" | "cosine" | "none"
+    # StepLR: decay by gamma every step_size iterations.
+    step_size: int = 10000
+    milestones: Tuple[int, ...] = ()
+    gamma: float = 0.5
+    # LR floor, mirroring the reference's ClipLR capability [U].
+    clip_lr: float = 1e-5
+    warmup_steps: int = 0
+    max_grad_norm: float = 0.0  # 0 disables clipping
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8
+    max_steps: int = 30000
+    log_every: int = 50
+    val_every: int = 1000
+    val_steps: int = 50
+    ckpt_every: int = 1000
+    ckpt_keep: int = 5
+    seed: int = 0
+    # donate params/opt-state buffers in the jitted step
+    donate: bool = True
+    remat: bool = False  # jax.checkpoint the 2D net to trade FLOPs for HBM
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. data = batch/chunk sharding, space = spatial
+    sharding of whole-scene point sets + their view frustums (the build's
+    sequence-parallel analog; SURVEY.md §2.3)."""
+
+    data: int = -1  # -1: use all devices on the data axis
+    space: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    output_dir: str = "outputs/default"
+    # ops implementation: "auto" picks pallas on TPU, jnp reference elsewhere
+    ops_impl: str = "auto"
+
+
+# ---------------------------------------------------------------------------
+# YAML / CLI merging
+# ---------------------------------------------------------------------------
+
+
+def _build(cls: type, value: Any) -> Any:
+    """Recursively construct a (possibly nested) dataclass from plain data."""
+    if is_dataclass(cls) and isinstance(value, dict):
+        kwargs = {}
+        field_map = {f.name: f for f in fields(cls)}
+        for key, sub in value.items():
+            if key not in field_map:
+                raise KeyError(f"Unknown config key '{key}' for {cls.__name__}")
+            f = field_map[key]
+            kwargs[key] = _coerce(f.type, sub, cls, f)
+        return cls(**kwargs)
+    return value
+
+
+def _coerce(ftype: Any, value: Any, owner: type, f: dataclasses.Field) -> Any:
+    default = f.default if f.default is not dataclasses.MISSING else (
+        f.default_factory() if f.default_factory is not dataclasses.MISSING else None
+    )
+    if is_dataclass(default) and isinstance(value, dict):
+        return _merge_dataclass(default, value)
+    if isinstance(default, tuple) and isinstance(value, (list, tuple)):
+        if default and is_dataclass(default[0]):
+            elem_cls = type(default[0])
+            return tuple(
+                _build(elem_cls, v) if isinstance(v, dict) else v for v in value
+            )
+        return tuple(tuple(v) if isinstance(v, (list, tuple)) else v for v in value)
+    return value
+
+
+def _merge_dataclass(obj: Any, overrides: dict) -> Any:
+    """Return a copy of dataclass ``obj`` with ``overrides`` applied."""
+    field_map = {f.name: f for f in fields(obj)}
+    kwargs = {}
+    for key, value in overrides.items():
+        if key not in field_map:
+            raise KeyError(
+                f"Unknown config key '{key}' for {type(obj).__name__}"
+            )
+        current = getattr(obj, key)
+        if is_dataclass(current) and isinstance(value, dict):
+            kwargs[key] = _merge_dataclass(current, value)
+        else:
+            kwargs[key] = _coerce(field_map[key].type, value, type(obj), field_map[key])
+    return dataclasses.replace(obj, **kwargs)
+
+
+def load_config(yaml_path: str | None = None, overrides: list[str] | None = None) -> Config:
+    """Build a Config: defaults ← YAML file ← dotted CLI overrides.
+
+    ``overrides`` are ``key.path=value`` strings, e.g.
+    ``train.batch_size=16 model.pn2.dropout=0.3`` (the reference's
+    ``merge_from_list`` equivalent).
+    """
+    cfg = Config()
+    if yaml_path:
+        with open(yaml_path) as fh:
+            data = yaml.safe_load(fh) or {}
+        cfg = _merge_dataclass(cfg, data)
+    for item in overrides or []:
+        if "=" not in item:
+            raise ValueError(f"Override must look like key.path=value, got {item!r}")
+        path, _, raw = item.partition("=")
+        value = yaml.safe_load(raw)
+        tree: dict = {}
+        node = tree
+        parts = path.strip().split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+        cfg = _merge_dataclass(cfg, tree)
+    return cfg
+
+
+def to_dict(cfg: Any) -> Any:
+    if is_dataclass(cfg):
+        return {f.name: to_dict(getattr(cfg, f.name)) for f in fields(cfg)}
+    if isinstance(cfg, tuple):
+        return [to_dict(v) for v in cfg]
+    return cfg
+
+
+def save_config(cfg: Config, path: str) -> None:
+    with open(path, "w") as fh:
+        yaml.safe_dump(to_dict(cfg), fh, sort_keys=False)
+
+
+def config_json(cfg: Config) -> str:
+    return json.dumps(to_dict(cfg), indent=2, sort_keys=True)
