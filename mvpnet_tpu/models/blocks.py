@@ -90,8 +90,8 @@ class SharedMLP(nnx.Module):
             )
             norms.append(make_norm(norm, c_out, rngs=rngs, dtype=dtype))
             c_in = c_out
-        self.layers = layers
-        self.norms = norms
+        self.layers = nnx.List(layers)
+        self.norms = nnx.List(norms)
         self.out_channels = c_in
 
     def __call__(self, x):

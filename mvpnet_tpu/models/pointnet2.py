@@ -107,7 +107,7 @@ class PN2SSG(nnx.Module):
             sa_layers.append(sa)
             c_in = sa.out_channels
             sa_out.append(c_in)
-        self.sa_layers = sa_layers
+        self.sa_layers = nnx.List(sa_layers)
 
         fp_layers = []
         # FP goes coarsest->finest: fp[i] fuses sa_out[-(i+1)] (interp) with
@@ -120,7 +120,7 @@ class PN2SSG(nnx.Module):
             )
             fp_layers.append(fp)
             c_sparse = fp.out_channels
-        self.fp_layers = fp_layers
+        self.fp_layers = nnx.List(fp_layers)
 
         self.head_mlp = SharedMLP(
             c_sparse, (cfg.head_channels,), norm=cfg.norm, dtype=dtype, rngs=rngs

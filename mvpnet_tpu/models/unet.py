@@ -74,8 +74,8 @@ class ResNet34Encoder(nnx.Module):
                     BasicBlock(c_in, c_out, stride=stride, norm=cfg.norm, dtype=dtype, rngs=rngs)
                 )
                 c_in = c_out
-            stages.append(stage)
-        self.stages = stages
+            stages.append(nnx.List(stage))
+        self.stages = nnx.List(stages)
 
     def __call__(self, x):
         """Returns [stem_out, stage1, stage2, stage3, stage4] (coarsening)."""
@@ -110,7 +110,7 @@ class UNetResNet34(nnx.Module):
                 ConvBNRelu(c_in + skip_c, dec_c, norm=cfg.norm, dtype=dtype, rngs=rngs)
             )
             c_in = dec_c
-        self.decoders = decoders
+        self.decoders = nnx.List(decoders)
         self.final = ConvBNRelu(c_in, cfg.feature_channels, norm=cfg.norm, dtype=dtype, rngs=rngs)
         self.seg_head = nnx.Conv(
             cfg.feature_channels,
