@@ -1,0 +1,160 @@
+"""Offline ScanNet preprocessing: raw scans -> flat npz layout.
+
+Capability-equivalent of the reference's offline preprocess scripts
+(mvpnet/data/preprocess/*.py, UNVERIFIED; SURVEY.md §2.2 "Preprocessing"):
+  (a) resize extracted color/depth frames to the training resolution,
+  (b) bundle per-scene point clouds + 20-class labels,
+  (c) record poses/intrinsics per frame.
+
+Expected raw layout (the standard ScanNet extraction):
+  <raw>/scans/<scene_id>/
+    <scene_id>_vh_clean_2.ply              mesh/point cloud with rgb
+    <scene_id>_vh_clean_2.labels.ply       per-vertex raw label ids
+    color/<i>.jpg  depth/<i>.png  pose/<i>.txt  intrinsic/intrinsic_depth.txt
+
+Run:  python -m mvpnet_tpu.data.preprocess --raw <raw> --out <root> \
+          --tsv scannetv2-labels.combined.tsv [--height 120 --width 160]
+
+Requires real ScanNet data on disk; no-op on this machine (none present).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from mvpnet_tpu.data.meta import nyu40_to_train, parse_label_mapping
+
+
+def _read_ply_vertices(path: str):
+    """Minimal binary/ascii PLY vertex reader (x,y,z[,r,g,b][,label])."""
+    try:
+        from plyfile import PlyData  # optional dependency
+
+        ply = PlyData.read(path)
+        v = ply["vertex"]
+        names = v.data.dtype.names
+        xyz = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float32)
+        rgb = None
+        if "red" in names:
+            rgb = np.stack([v["red"], v["green"], v["blue"]], axis=1).astype(np.uint8)
+        label = np.asarray(v["label"]).astype(np.int32) if "label" in names else None
+        return xyz, rgb, label
+    except ImportError as e:  # pragma: no cover - plyfile not in this image
+        raise RuntimeError(
+            "plyfile is required for PLY parsing; install it or convert "
+            "scenes to npz externally"
+        ) from e
+
+
+def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    ys = (np.arange(h) * img.shape[0] / h).astype(np.int64)
+    xs = (np.arange(w) * img.shape[1] / w).astype(np.int64)
+    return img[ys][:, xs]
+
+
+def preprocess_scene(
+    raw_dir: str,
+    out_root: str,
+    scene_id: str,
+    label_table: np.ndarray,
+    raw_to_nyu: dict[int, int] | None,
+    *,
+    height: int,
+    width: int,
+    frame_skip: int = 1,
+    ignore_label: int = -100,
+) -> None:
+    from PIL import Image
+
+    scan = os.path.join(raw_dir, "scans", scene_id)
+    xyz, rgb, raw_label = _read_ply_vertices(
+        os.path.join(scan, f"{scene_id}_vh_clean_2.labels.ply")
+    )
+    if rgb is None:
+        _, rgb, _ = _read_ply_vertices(
+            os.path.join(scan, f"{scene_id}_vh_clean_2.ply")
+        )
+    if raw_to_nyu is not None and raw_label is not None:
+        nyu = np.vectorize(lambda r: raw_to_nyu.get(int(r), 0))(raw_label)
+    else:
+        nyu = raw_label if raw_label is not None else np.zeros(len(xyz), np.int64)
+    labels = label_table[np.clip(nyu, 0, 40)]
+
+    os.makedirs(os.path.join(out_root, "scenes"), exist_ok=True)
+    np.savez_compressed(
+        os.path.join(out_root, "scenes", f"{scene_id}.npz"),
+        points=xyz,
+        colors=rgb if rgb is not None else np.zeros((len(xyz), 3), np.uint8),
+        labels=labels.astype(np.int32),
+    )
+
+    color_dir = os.path.join(scan, "color")
+    if not os.path.isdir(color_dir):
+        return
+    frame_ids = sorted(
+        int(os.path.splitext(f)[0]) for f in os.listdir(color_dir)
+    )[::frame_skip]
+    depths, rgbs, poses = [], [], []
+    for fid in frame_ids:
+        pose = np.loadtxt(os.path.join(scan, "pose", f"{fid}.txt")).astype(np.float32)
+        if not np.all(np.isfinite(pose)):
+            continue
+        col = np.asarray(Image.open(os.path.join(scan, "color", f"{fid}.jpg")))
+        dep = np.asarray(Image.open(os.path.join(scan, "depth", f"{fid}.png")))
+        rgbs.append(_resize_nearest(col, height, width))
+        scale_h = dep.shape[0] / height
+        depths.append(_resize_nearest(dep, height, width))
+        poses.append(pose)
+    intr = np.loadtxt(
+        os.path.join(scan, "intrinsic", "intrinsic_depth.txt")
+    ).astype(np.float32)[:3, :3]
+    # rescale intrinsics from the raw depth resolution to (height, width)
+    raw_dep = np.asarray(
+        Image.open(os.path.join(scan, "depth", f"{frame_ids[0]}.png"))
+    )
+    sy, sx = height / raw_dep.shape[0], width / raw_dep.shape[1]
+    intr = intr * np.array([[sx, 0, sx], [0, sy, sy], [0, 0, 1]], np.float32)
+
+    os.makedirs(os.path.join(out_root, "frames"), exist_ok=True)
+    np.savez_compressed(
+        os.path.join(out_root, "frames", f"{scene_id}.npz"),
+        depth=np.stack(depths).astype(np.uint16),
+        rgb=np.stack(rgbs).astype(np.uint8),
+        poses=np.stack(poses),
+        intrinsics=intr,
+        depth_scale=np.float32(1000.0),
+    )
+
+
+def main(argv=None):  # pragma: no cover - requires real ScanNet on disk
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--raw", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--tsv", default=None, help="scannetv2-labels.combined.tsv")
+    ap.add_argument("--height", type=int, default=120)
+    ap.add_argument("--width", type=int, default=160)
+    ap.add_argument("--frame-skip", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    table = nyu40_to_train()
+    raw_to_nyu = parse_label_mapping(args.tsv) if args.tsv else None
+    scans = sorted(os.listdir(os.path.join(args.raw, "scans")))
+    os.makedirs(os.path.join(args.out, "meta"), exist_ok=True)
+    for i, scene_id in enumerate(scans):
+        print(f"[{i + 1}/{len(scans)}] {scene_id}")
+        preprocess_scene(
+            args.raw,
+            args.out,
+            scene_id,
+            table,
+            raw_to_nyu,
+            height=args.height,
+            width=args.width,
+            frame_skip=args.frame_skip,
+        )
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,94 @@
+"""Checkpointing via orbax: params + opt-state + step, auto-resume, best-mIoU.
+
+Capability-equivalent of the reference ``Checkpointer``/``CheckpointerV2``
+(common/utils/checkpoint.py UNVERIFIED; SURVEY.md §5 "Checkpoint/resume"):
+periodic save, ``last_checkpoint``-style auto-resume (orbax's latest-step),
+best-metric tracking, and cross-model warm-start (restoring the 2D subnet's
+param subtree into the 3D model).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+from flax import nnx
+
+
+class Checkpointer:
+    def __init__(self, directory: str, *, keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep,
+                best_fn=lambda m: m.get("miou", 0.0),
+                best_mode="max",
+                keep_period=None,
+                enable_async_checkpointing=True,
+            ),
+        )
+
+    def save(self, step: int, model, optimizer=None, metrics: dict | None = None):
+        state: dict[str, Any] = {"model": nnx.state(model)}
+        if optimizer is not None:
+            state["opt"] = nnx.state(optimizer)
+        metrics = {
+            k: float(v) for k, v in (metrics or {}).items() if np.isscalar(v) or getattr(v, "ndim", 1) == 0
+        }
+        self.manager.save(
+            step, args=ocp.args.StandardSave(state), metrics=metrics or None
+        )
+
+    def restore(self, model, optimizer=None, step: int | None = None) -> int | None:
+        """Restore in place; returns the restored step or None."""
+        if step is None:
+            step = self.manager.latest_step()
+        if step is None:
+            return None
+        target: dict[str, Any] = {"model": nnx.state(model)}
+        if optimizer is not None:
+            target["opt"] = nnx.state(optimizer)
+        restored = self.manager.restore(
+            step, args=ocp.args.StandardRestore(target)
+        )
+        nnx.update(model, restored["model"])
+        if optimizer is not None:
+            nnx.update(optimizer, restored["opt"])
+        return step
+
+    def wait(self):
+        self.manager.wait_until_finished()
+
+    def close(self):
+        self.manager.close()
+
+
+def warm_start_2d(model_3d, ckpt_dir_2d: str) -> bool:
+    """Restore a 2D (sem_seg_2d) run's UNet params into ``model_3d.net_2d``.
+
+    Reference behavior: train_3d loads the 2D seg checkpoint and optionally
+    freezes the 2D net (SURVEY.md §3.1). Returns True if weights were loaded.
+    """
+    directory = os.path.abspath(ckpt_dir_2d)
+    if not os.path.isdir(directory):
+        return False
+    mgr = ocp.CheckpointManager(directory)
+    step = mgr.latest_step()
+    if step is None:
+        return False
+    target = {"model": nnx.state(model_3d.net_2d)}
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+    nnx.update(model_3d.net_2d, restored["model"])
+    mgr.close()
+    return True
+
+
+def freeze_filter(freeze_2d: bool):
+    """nnx filter selecting trainable params (excludes net_2d when frozen)."""
+    if not freeze_2d:
+        return nnx.Param
+    return nnx.All(nnx.Param, nnx.Not(nnx.PathContains("net_2d")))

@@ -1,0 +1,136 @@
+"""Training loop: build everything from cfg, iterate with periodic
+validation / checkpointing / logging.
+
+Capability-equivalent of the reference train scripts' ``train()`` /
+``validate()`` (mvpnet/train_2d.py, train_3d.py UNVERIFIED; SURVEY.md §3.1):
+iteration-based loop, chunk-level val with best-mIoU tracking, auto-resume.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+from flax import nnx
+
+from mvpnet_tpu.config import Config, save_config
+from mvpnet_tpu.data.pipeline import PrefetchIterator, build_dataset
+from mvpnet_tpu.models import build_model
+from mvpnet_tpu.train.checkpoint import Checkpointer, freeze_filter, warm_start_2d
+from mvpnet_tpu.train.metrics import iou_from_confusion
+from mvpnet_tpu.train.solver import build_optimizer
+from mvpnet_tpu.train.step import make_eval_step, make_train_step
+from mvpnet_tpu.utils.logger import MetricLogger, setup_logger
+
+
+def evaluate(model, eval_step, val_iter, num_batches: int, num_classes: int):
+    """Chunk-level validation: accumulate the confusion matrix on device."""
+    model.eval()
+    cm = None
+    losses = []
+    for _ in range(num_batches):
+        batch = next(val_iter)
+        m = eval_step(model, batch)
+        cm = m["confusion"] if cm is None else cm + m["confusion"]
+        losses.append(m["loss"])
+    model.train()
+    iou, miou = iou_from_confusion(cm)
+    return {
+        "miou": float(miou),
+        "loss": float(np.mean([float(l) for l in losses])),
+        "iou": np.asarray(iou),
+    }
+
+
+def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
+    """Run training; returns (model, final val metrics)."""
+    logger = setup_logger(output_dir=cfg.output_dir)
+    save_config(cfg, f"{cfg.output_dir}/config.yaml")
+    logger.info("devices: %s", jax.devices())
+
+    rngs = nnx.Rngs(cfg.train.seed)
+    model, loss_fn, metric_fn = build_model(cfg, rngs=rngs)
+
+    if cfg.model.pretrained_2d and hasattr(model, "net_2d"):
+        loaded = warm_start_2d(model, cfg.model.pretrained_2d)
+        logger.info("2D warm-start from %s: %s", cfg.model.pretrained_2d, loaded)
+
+    wrt = freeze_filter(cfg.model.freeze_2d)
+    optimizer = nnx.Optimizer(model, build_optimizer(cfg.solver), wrt=wrt)
+
+    ckpt = Checkpointer(f"{cfg.output_dir}/checkpoints", keep=cfg.train.ckpt_keep)
+    start_step = 0
+    if resume:
+        restored = ckpt.restore(model, optimizer)
+        if restored is not None:
+            start_step = restored + 1
+            logger.info("resumed from step %d", restored)
+
+    train_step = make_train_step(cfg, loss_fn, metric_fn)
+    eval_step = make_eval_step(cfg, loss_fn, metric_fn)
+
+    train_ds = build_dataset(
+        cfg.data, batch_size=cfg.train.batch_size, training=True, seed=cfg.train.seed
+    )
+    val_ds = build_dataset(
+        cfg.data, batch_size=cfg.train.batch_size, training=False, seed=cfg.train.seed + 1
+    )
+    train_iter = PrefetchIterator(
+        train_ds, prefetch=cfg.data.prefetch, num_threads=cfg.data.num_workers
+    )
+    val_iter = PrefetchIterator(val_ds, prefetch=1, num_threads=2)
+
+    key = jax.random.key(cfg.train.seed)
+    meters = MetricLogger()
+    best_miou = -1.0
+    total = max_steps if max_steps is not None else cfg.train.max_steps
+    model.train()
+    val_metrics: dict = {}
+
+    t0 = time.perf_counter()
+    for step in range(start_step, total):
+        batch = next(train_iter)
+        meters.tick("data_time")
+        key, sub = jax.random.split(key)
+        m = train_step(model, optimizer, batch, sub)
+        meters.update(loss=m["loss"], accuracy=m["accuracy"])
+        meters.tick("batch_time")
+
+        if (step + 1) % cfg.train.log_every == 0 or step == start_step:
+            chunks_s = cfg.train.batch_size / max(
+                meters.meters["batch_time"].avg + meters.meters["data_time"].avg,
+                1e-9,
+            )
+            logger.info(
+                "step %d/%d  %s  chunks/s: %.2f", step + 1, total, meters, chunks_s
+            )
+
+        if (step + 1) % cfg.train.val_every == 0 or step + 1 == total:
+            val_metrics = evaluate(
+                model, eval_step, val_iter, cfg.train.val_steps, cfg.data.num_classes
+            )
+            logger.info(
+                "val @%d  loss: %.4f  mIoU: %.4f",
+                step + 1,
+                val_metrics["loss"],
+                val_metrics["miou"],
+            )
+            best_miou = max(best_miou, val_metrics["miou"])
+
+        if (step + 1) % cfg.train.ckpt_every == 0 or step + 1 == total:
+            ckpt.save(step, model, optimizer, metrics={"miou": val_metrics.get("miou", 0.0)})
+
+    ckpt.wait()
+    train_iter.close()
+    val_iter.close()
+    wall = time.perf_counter() - t0
+    steps_run = max(total - start_step, 1)
+    logger.info(
+        "done: %d steps in %.1fs (%.2f chunks/s), best mIoU %.4f",
+        steps_run,
+        wall,
+        steps_run * cfg.train.batch_size / wall,
+        best_miou,
+    )
+    ckpt.close()
+    return model, val_metrics

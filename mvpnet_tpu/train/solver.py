@@ -1,0 +1,64 @@
+"""Optimizer + LR scheduler factories (optax).
+
+Capability-equivalent of the reference's ``build_optimizer`` /
+``build_scheduler`` (common/solver/build.py, lr_scheduler.py UNVERIFIED;
+SURVEY.md §2.2 "Solver"): Adam/SGD from cfg, Step/MultiStep/Cosine
+schedules, a ClipLR-style LR floor, optional warmup and global-norm grad
+clipping.
+"""
+from __future__ import annotations
+
+import optax
+
+from mvpnet_tpu.config import SolverConfig
+
+
+def build_schedule(cfg: SolverConfig):
+    if cfg.scheduler == "none":
+        base = optax.constant_schedule(cfg.base_lr)
+    elif cfg.scheduler == "step":
+        base = optax.exponential_decay(
+            cfg.base_lr,
+            transition_steps=cfg.step_size,
+            decay_rate=cfg.gamma,
+            staircase=True,
+        )
+    elif cfg.scheduler == "multistep":
+        boundaries = {m: cfg.gamma for m in cfg.milestones}
+        base = optax.piecewise_constant_schedule(cfg.base_lr, boundaries)
+    elif cfg.scheduler == "cosine":
+        base = optax.cosine_decay_schedule(cfg.base_lr, cfg.step_size)
+    else:
+        raise ValueError(f"unknown scheduler {cfg.scheduler!r}")
+
+    floor = cfg.clip_lr
+
+    def clipped(step):
+        import jax.numpy as jnp
+
+        return jnp.maximum(base(step), floor)
+
+    sched = clipped if floor > 0 else base
+    if cfg.warmup_steps > 0:
+        warm = optax.linear_schedule(0.0, cfg.base_lr, cfg.warmup_steps)
+        sched = optax.join_schedules([warm, sched], [cfg.warmup_steps])
+    return sched
+
+
+def build_optimizer(cfg: SolverConfig) -> optax.GradientTransformation:
+    sched = build_schedule(cfg)
+    if cfg.optimizer == "adam":
+        tx = optax.adam(sched)
+    elif cfg.optimizer == "adamw":
+        tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "sgd":
+        tx = optax.sgd(sched, momentum=cfg.momentum, nesterov=False)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    parts = []
+    if cfg.max_grad_norm > 0:
+        parts.append(optax.clip_by_global_norm(cfg.max_grad_norm))
+    parts.append(tx)
+    if cfg.optimizer == "sgd" and cfg.weight_decay > 0:
+        parts.insert(0, optax.add_decayed_weights(cfg.weight_decay))
+    return optax.chain(*parts) if len(parts) > 1 else parts[0]

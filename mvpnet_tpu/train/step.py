@@ -1,0 +1,96 @@
+"""Device-side batch preparation + jitted train/eval steps.
+
+The host ships raw arrays (images, depth, poses, intrinsics, points,
+labels); everything geometric — depth unprojection (lift) and train-time
+augmentation — happens here INSIDE the jitted step, on device. This is the
+central inversion vs the reference, whose DataLoader workers did unprojection
++ KDTree kNN on CPU (scannet_2d3d.py §3.4; SURVEY.md §7 layer 5). The fusion
+kNN itself runs inside MVPNet3D.forward.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from mvpnet_tpu.config import Config
+from mvpnet_tpu.core.augment import augment_chunk
+from mvpnet_tpu.core.camera import unproject_views
+
+
+def prepare_batch(cfg: Config, batch: dict, *, training: bool, rng_key=None) -> dict:
+    """Lift depth to world-space pixel clouds; apply augmentation (train).
+
+    Input batch (host layout, see data/pipeline.py):
+      points (B,N,3), seg_label (B,N), images (B,V,H,W,3), depth (B,V,H,W),
+      poses (B,V,4,4), intrinsics (B,3,3), seg_label_2d (B,V,H,W)
+    Output adds image_xyz (B,V,H,W,3) and applies shared geometric
+    augmentation to points + image_xyz.
+    """
+    depth = batch["depth"]
+    B = depth.shape[0]
+    intr = batch["intrinsics"][:, None]  # (B,1,3,3) broadcast over V
+    image_xyz, valid = unproject_views(
+        depth, jnp.broadcast_to(intr, depth.shape[:2] + (3, 3)), batch["poses"]
+    )
+    points = batch["points"]
+    images = batch["images"]
+    if training and cfg.data.augment and rng_key is not None:
+        keys = jax.random.split(rng_key, B)
+        points, image_xyz, images = jax.vmap(
+            lambda k, p, x, im: augment_chunk(
+                k,
+                p,
+                x,
+                im,
+                z_rot=cfg.data.z_rot,
+                flip_prob=cfg.data.flip_prob,
+                jitter=cfg.data.color_jitter,
+            )
+        )(keys, points, image_xyz, images)
+
+    out = {
+        "points": points,
+        "images": images,
+        "image_xyz": image_xyz,
+        "image_valid": valid,
+        "seg_label": batch["seg_label"],
+    }
+    if "seg_label_2d" in batch:
+        # 2D aux supervision only on valid-depth pixels
+        out["seg_label_2d"] = jnp.where(
+            valid, batch["seg_label_2d"], cfg.data.ignore_label
+        )
+    return out
+
+
+def make_train_step(cfg: Config, loss_fn, metric_fn):
+    """Build the jitted training step: (model, optimizer, batch, key) -> aux."""
+
+    @nnx.jit(donate_argnames=() if not cfg.train.donate else ("model", "optimizer"))
+    def train_step(model, optimizer, batch, rng_key):
+        model_batch = prepare_batch(cfg, batch, training=True, rng_key=rng_key)
+
+        def compute_loss(m):
+            out = m(model_batch)
+            return loss_fn(out, model_batch), out
+
+        (loss, out), grads = nnx.value_and_grad(compute_loss, has_aux=True)(model)
+        optimizer.update(model, grads)
+        metrics = metric_fn(out, model_batch)
+        metrics["loss"] = loss
+        return metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, loss_fn, metric_fn):
+    @nnx.jit
+    def eval_step(model, batch):
+        model_batch = prepare_batch(cfg, batch, training=False)
+        out = model(model_batch)
+        metrics = metric_fn(out, model_batch)
+        metrics["loss"] = loss_fn(out, model_batch)
+        return metrics
+
+    return eval_step

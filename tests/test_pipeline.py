@@ -1,0 +1,157 @@
+"""Pipeline-level tests (SURVEY.md §4 implication 3): synthetic mini-scene
+through dataset -> device prep -> model -> loss on the CPU backend."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from mvpnet_tpu.config import Config, DataConfig
+from mvpnet_tpu.core.camera import unproject_views
+from mvpnet_tpu.data.pipeline import ChunkDataset, PrefetchIterator, build_dataset, make_chunk_sample
+from mvpnet_tpu.data.synthetic import make_scene
+from mvpnet_tpu.data.view_select import greedy_select_views, point_frame_coverage
+from mvpnet_tpu.models import build_model
+from mvpnet_tpu.train.step import make_eval_step, make_train_step, prepare_batch
+from tests.test_models import tiny_config
+
+
+def small_data_cfg(**kw):
+    base = dict(
+        name="synthetic",
+        num_points=256,
+        num_views_train=2,
+        num_views_eval=3,
+        image_height=24,
+        image_width=32,
+        num_classes=5,
+        max_candidate_frames=8,
+    )
+    base.update(kw)
+    return DataConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(0, num_points=20000, num_frames=6, height=24, width=32, num_classes=5)
+
+
+def test_scene_generator(scene):
+    assert scene.points.shape[1] == 3
+    assert scene.depth.shape == (6, 24, 32)
+    assert scene.labels.min() >= 0 and scene.labels.max() < 5
+    # some pixels valid, some holes
+    frac_valid = (scene.depth > 0).mean()
+    assert 0.2 < frac_valid <= 1.0
+
+
+def test_render_unproject_roundtrip(scene):
+    """Unprojecting a rendered depth map must land on scene surfaces."""
+    xyz, valid = unproject_views(
+        jnp.asarray(scene.depth[None]),
+        jnp.asarray(scene.intrinsics),
+        jnp.asarray(scene.poses[None]),
+    )
+    xyz = np.asarray(xyz)[0]
+    valid = np.asarray(valid)[0]
+    pix = xyz[valid]
+    # every valid unprojected pixel should be close to some scene point
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(scene.points)
+    d, _ = tree.query(pix[:: max(len(pix) // 500, 1)], k=1)
+    assert np.median(d) < 0.05, np.median(d)
+
+
+def test_view_selection_improves_coverage(scene):
+    pts = scene.points[:: len(scene.points) // 400]
+    cover = point_frame_coverage(pts, scene.depth, scene.poses, scene.intrinsics)
+    chosen, covered = greedy_select_views(cover, 3)
+    assert len(set(chosen.tolist())) == 3  # distinct frames
+    # greedy coverage >= best single frame's coverage
+    assert covered.sum() >= cover.sum(axis=1).max()
+
+
+def test_chunk_sample_shapes(scene):
+    cfg = small_data_cfg()
+    rng = np.random.default_rng(0)
+    s = make_chunk_sample(scene, cfg, rng=rng)
+    assert s["points"].shape == (256, 3)
+    assert s["seg_label"].shape == (256,)
+    assert s["images"].shape == (2, 24, 32, 3)
+    assert s["depth"].shape == (2, 24, 32)
+    assert s["poses"].shape == (2, 4, 4)
+    # chunk points stay inside the box
+    span = s["points"][:, :2].max(0) - s["points"][:, :2].min(0)
+    assert np.all(span <= cfg.chunk_size + 2 * cfg.chunk_margin + 1e-5)
+
+
+def test_dataset_iteration_and_prefetch(scene):
+    cfg = small_data_cfg()
+    ds = ChunkDataset([scene], cfg, batch_size=2, training=True, seed=0)
+    it = PrefetchIterator(ds, prefetch=2, num_threads=2)
+    b1 = next(it)
+    b2 = next(it)
+    assert b1["points"].shape == (2, 256, 3)
+    assert isinstance(b1["points"], jax.Array)
+    # batches differ (random chunks)
+    assert not np.allclose(np.asarray(b1["points"]), np.asarray(b2["points"]))
+    it.close()
+
+
+def _full_cfg():
+    cfg = tiny_config()  # 5-class tiny model
+    return dataclasses.replace(cfg, data=small_data_cfg())
+
+
+def test_prepare_batch_lift_and_augment(scene):
+    cfg = _full_cfg()
+    ds = ChunkDataset([scene], cfg.data, batch_size=2, training=True, seed=0)
+    batch = jax.device_put(next(iter(ds)))
+    out = prepare_batch(cfg, batch, training=True, rng_key=jax.random.key(0))
+    assert out["image_xyz"].shape == (2, 2, 24, 32, 3)
+    assert out["seg_label_2d"].shape == (2, 2, 24, 32)
+    # invalid pixels must carry the far sentinel
+    valid = np.asarray(out["image_valid"])
+    xyz = np.asarray(out["image_xyz"])
+    if (~valid).any():
+        assert np.abs(xyz[~valid]).max() > 1e5
+    # and their 2D labels must be ignored
+    lab2d = np.asarray(out["seg_label_2d"])
+    assert np.all(lab2d[~valid] == cfg.data.ignore_label)
+
+
+def test_train_step_end_to_end(scene):
+    import optax
+    from mvpnet_tpu.train.solver import build_optimizer
+
+    cfg = _full_cfg()
+    model, loss_fn, metric_fn = build_model(cfg, rngs=nnx.Rngs(0))
+    optimizer = nnx.Optimizer(model, build_optimizer(cfg.solver), wrt=nnx.Param)
+    train_step = make_train_step(cfg, loss_fn, metric_fn)
+    eval_step = make_eval_step(cfg, loss_fn, metric_fn)
+
+    ds = ChunkDataset([scene], cfg.data, batch_size=2, training=True, seed=0)
+    it = iter(ds)
+    key = jax.random.key(0)
+    losses = []
+    for i in range(3):
+        batch = jax.device_put(next(it))
+        key, sub = jax.random.split(key)
+        m = train_step(model, optimizer, batch, sub)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+
+    model.eval()
+    ev = eval_step(model, jax.device_put(next(it)))
+    assert np.isfinite(float(ev["loss"]))
+    assert ev["confusion"].shape == (5, 5)
+
+
+def test_build_dataset_factory():
+    cfg = small_data_cfg()
+    ds = build_dataset(cfg, batch_size=1, training=True, seed=0)
+    b = next(iter(ds))
+    assert b["points"].shape[0] == 1
