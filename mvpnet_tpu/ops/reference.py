@@ -49,7 +49,11 @@ def pairwise_sqdist(a, b):
     b = b.astype(jnp.float32)
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)  # (..., M, 1)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)  # (..., N, 1)
-    cross = jnp.einsum("...mc,...nc->...mn", a, b)
+    # HIGHEST precision: the TPU MXU's default bf16-passes precision perturbs
+    # distance ordering and breaks index parity with exact (a-b)^2 kernels.
+    cross = jnp.einsum(
+        "...mc,...nc->...mn", a, b, precision=jax.lax.Precision.HIGHEST
+    )
     d2 = a2 - 2.0 * cross + jnp.swapaxes(b2, -1, -2)
     return jnp.maximum(d2, 0.0)
 

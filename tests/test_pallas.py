@@ -1,0 +1,75 @@
+"""Pallas kernels vs jnp reference ops, run in TPU interpret mode on CPU
+(SURVEY.md §4: "Pallas kernels compared against the jnp reference
+implementations ... interpret-mode runs")."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from mvpnet_tpu.ops import reference as ref
+from mvpnet_tpu.ops.pallas import knn as pknn
+
+
+def _rand_points(rng, b, n, scale=2.0):
+    return rng.uniform(-scale, scale, size=(b, n, 3)).astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "b,m,n,k",
+    [
+        (1, 8, 64, 3),
+        (2, 37, 300, 3),  # non-divisible tiles
+        (1, 300, 2500, 4),  # multiple ref tiles
+        (2, 64, 128, 1),
+    ],
+)
+def test_pallas_knn_matches_reference(rng, b, m, n, k):
+    q = jnp.asarray(_rand_points(rng, b, m))
+    r = jnp.asarray(_rand_points(rng, b, n))
+    d_want, i_want = ref.knn(q, r, k)
+    with pltpu.force_tpu_interpret_mode():
+        d_got, i_got = pknn.knn(q, r, k)
+    np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_want))
+    np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_want), atol=1e-5)
+
+
+def test_pallas_knn_ref_mask(rng):
+    q = jnp.asarray(_rand_points(rng, 1, 16))
+    r = jnp.asarray(_rand_points(rng, 1, 200))
+    mask = np.ones((1, 200), bool)
+    mask[:, 100:] = False
+    d_want, i_want = ref.knn(q, r, 3, ref_mask=jnp.asarray(mask))
+    with pltpu.force_tpu_interpret_mode():
+        d_got, i_got = pknn.knn(q, r, 3, ref_mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_want))
+
+
+def test_pallas_knn_grad_matches_reference(rng):
+    q = jnp.asarray(_rand_points(rng, 1, 12))
+    r = jnp.asarray(_rand_points(rng, 1, 40))
+
+    def loss_ref(q, r):
+        d, _ = ref.knn(q, r, 3)
+        return jnp.sum(jnp.sin(d))
+
+    def loss_pal(q, r):
+        with pltpu.force_tpu_interpret_mode():
+            d, _ = pknn.knn(q, r, 3)
+        return jnp.sum(jnp.sin(d))
+
+    gq_ref, gr_ref = jax.grad(loss_ref, argnums=(0, 1))(q, r)
+    gq_pal, gr_pal = jax.grad(loss_pal, argnums=(0, 1))(q, r)
+    np.testing.assert_allclose(np.asarray(gq_pal), np.asarray(gq_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gr_pal), np.asarray(gr_ref), atol=1e-4)
+
+
+def test_pallas_knn_duplicate_points_tie_break(rng):
+    # duplicated refs: both impls must pick the lower index first
+    base = _rand_points(rng, 1, 50)
+    r = jnp.asarray(np.concatenate([base, base], axis=1))
+    q = jnp.asarray(base[:, :10] + 1e-7)
+    _, i_want = ref.knn(q, r, 2)
+    with pltpu.force_tpu_interpret_mode():
+        _, i_got = pknn.knn(q, r, 2)
+    np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_want))
