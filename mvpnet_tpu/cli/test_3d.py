@@ -1,0 +1,49 @@
+"""CLI: whole-scene sliding-window evaluation.
+
+Reference entry point equivalent: ``python mvpnet/test_3d.py --cfg <yaml>``
+(UNVERIFIED; SURVEY.md §3.2): restore the best checkpoint, slide chunks over
+each val scene, accumulate logits, report per-class IoU + mIoU, optionally
+export ScanNet benchmark .txt files.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+from flax import nnx
+
+from mvpnet_tpu.config import load_config
+from mvpnet_tpu.data.pipeline import build_dataset
+from mvpnet_tpu.eval.whole_scene import evaluate_scenes
+from mvpnet_tpu.models import build_model
+from mvpnet_tpu.train.checkpoint import Checkpointer
+from mvpnet_tpu.utils.logger import setup_logger
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cfg", default=None)
+    ap.add_argument("--export", default=None, help="benchmark export dir")
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("opts", nargs="*")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.cfg, args.opts)
+    logger = setup_logger(output_dir=cfg.output_dir)
+    model, _, _ = build_model(cfg, rngs=nnx.Rngs(0))
+    ckpt = Checkpointer(f"{cfg.output_dir}/checkpoints")
+    step = ckpt.restore(model)
+    logger.info("restored checkpoint step=%s", step)
+
+    # evaluate on the validation scenes
+    ds = build_dataset(cfg.data, batch_size=1, training=False, seed=0)
+    results = evaluate_scenes(
+        model, cfg, ds.scenes, batch_size=args.batch_size, export_dir=args.export
+    )
+    logger.info("results: %s", json.dumps(results, indent=2))
+    print(json.dumps(results))
+    ckpt.close()
+
+
+if __name__ == "__main__":
+    main()

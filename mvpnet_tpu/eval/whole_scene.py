@@ -1,0 +1,164 @@
+"""Whole-scene sliding-window inference + confusion-matrix evaluation.
+
+Capability-equivalent of the reference ``test_3d.py`` (UNVERIFIED; SURVEY.md
+§3.2): slide chunk windows over the scene (stride < chunk size), run the
+fusion net per chunk with ~5 views, scatter-accumulate per-point logits over
+overlapping chunks, argmax, per-class IoU/mIoU, and optional ScanNet
+benchmark-format export (20-class -> NYU40 id remap).
+
+Chunks are processed in device batches; the host only accumulates the small
+(N, num_classes) per-chunk logit blocks.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mvpnet_tpu.config import Config
+from mvpnet_tpu.data.meta import CLASS_NAMES, remap_to_nyu40
+from mvpnet_tpu.data.pipeline import collate, make_chunk_sample
+from mvpnet_tpu.data.synthetic import Scene
+from mvpnet_tpu.train.metrics import iou_from_confusion
+from mvpnet_tpu.train.step import prepare_batch
+
+
+def enumerate_chunk_centers(points: np.ndarray, chunk_size: float, stride: float):
+    """Grid of xy window centers covering the scene bbox."""
+    lo = points[:, :2].min(axis=0)
+    hi = points[:, :2].max(axis=0)
+    xs = np.arange(lo[0] + chunk_size / 2, hi[0] + stride, stride)
+    ys = np.arange(lo[1] + chunk_size / 2, hi[1] + stride, stride)
+    return np.stack(np.meshgrid(xs, ys, indexing="ij"), axis=-1).reshape(-1, 2)
+
+
+class Evaluator:
+    """Confusion-matrix accumulator -> per-class IoU / mIoU / accuracy."""
+
+    def __init__(self, num_classes: int, ignore_label: int = -100):
+        self.num_classes = num_classes
+        self.ignore_label = ignore_label
+        self.cm = np.zeros((num_classes, num_classes), np.int64)
+
+    def update(self, pred: np.ndarray, label: np.ndarray):
+        valid = label != self.ignore_label
+        idx = label[valid] * self.num_classes + pred[valid]
+        self.cm += np.bincount(
+            idx, minlength=self.num_classes**2
+        ).reshape(self.num_classes, self.num_classes)
+
+    def results(self) -> dict:
+        iou, miou = iou_from_confusion(jnp.asarray(self.cm))
+        iou = np.asarray(iou)
+        acc = self.cm.diagonal().sum() / max(self.cm.sum(), 1)
+        return {
+            "miou": float(miou),
+            "accuracy": float(acc),
+            "class_iou": {
+                CLASS_NAMES[c] if c < len(CLASS_NAMES) else str(c): float(iou[c])
+                for c in range(self.num_classes)
+            },
+        }
+
+
+def predict_scene(
+    model,
+    cfg: Config,
+    scene: Scene,
+    *,
+    batch_size: int = 4,
+    forward_fn=None,
+) -> np.ndarray:
+    """Accumulated per-point logits (P, num_classes) for one scene."""
+    if forward_fn is None:
+
+        @jax.jit
+        def forward_fn(batch):
+            model_batch = prepare_batch(cfg, batch, training=False)
+            logits_3d, _ = model(model_batch)
+            return logits_3d
+
+    centers = enumerate_chunk_centers(
+        scene.points, cfg.data.chunk_size, cfg.data.chunk_stride
+    )
+    logits_acc = np.zeros((len(scene.points), cfg.data.num_classes), np.float32)
+    counts = np.zeros(len(scene.points), np.int32)
+
+    samples, idx_blocks = [], []
+
+    def flush():
+        nonlocal samples, idx_blocks
+        if not samples:
+            return
+        while len(samples) < batch_size:  # pad to the compiled batch shape
+            samples.append(samples[-1])
+            idx_blocks.append(None)
+        batch = jax.device_put(collate(samples))
+        logits = np.asarray(forward_fn(batch))
+        for i, pidx in enumerate(idx_blocks):
+            if pidx is None:
+                continue
+            np.add.at(logits_acc, pidx, logits[i])
+            np.add.at(counts, pidx, 1)
+        samples, idx_blocks = [], []
+
+    half = cfg.data.chunk_size / 2 + cfg.data.chunk_margin
+    for center in centers:
+        near = np.abs(scene.points[:, :2] - center)
+        if not np.any((near[:, 0] <= half) & (near[:, 1] <= half)):
+            continue
+        s = make_chunk_sample(
+            scene,
+            cfg.data,
+            center_xy=center,
+            num_views=cfg.data.num_views_eval,
+            rng=None,
+        )
+        idx_blocks.append(s.pop("point_idx"))
+        s.pop("colors", None)
+        samples.append(s)
+        if len(samples) == batch_size:
+            flush()
+    flush()
+
+    # Chunk sampling touches only num_points per window, so some scene points
+    # may receive no logits; fill them from their nearest scored neighbor
+    # (standard ScanNet whole-scene eval practice for sampled predictions).
+    uncovered = counts == 0
+    if uncovered.any() and (~uncovered).any():
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(scene.points[~uncovered])
+        _, nn = tree.query(scene.points[uncovered], k=1)
+        logits_acc[uncovered] = logits_acc[~uncovered][nn]
+    return logits_acc
+
+
+def evaluate_scenes(
+    model, cfg: Config, scenes, *, batch_size: int = 4, export_dir: str | None = None
+) -> dict:
+    """Reference test() loop: per-scene prediction + benchmark export."""
+    model.eval()
+    evaluator = Evaluator(cfg.data.num_classes, cfg.data.ignore_label)
+
+    @jax.jit
+    def forward_fn(batch):
+        model_batch = prepare_batch(cfg, batch, training=False)
+        logits_3d, _ = model(model_batch)
+        return logits_3d
+
+    for scene in scenes:
+        logits = predict_scene(
+            model, cfg, scene, batch_size=batch_size, forward_fn=forward_fn
+        )
+        pred = logits.argmax(axis=1)
+        evaluator.update(pred, scene.labels)
+        if export_dir:
+            os.makedirs(export_dir, exist_ok=True)
+            nyu = remap_to_nyu40(pred.astype(np.int64), cfg.data.ignore_label)
+            np.savetxt(
+                os.path.join(export_dir, f"{scene.name}.txt"), nyu, fmt="%d"
+            )
+    return evaluator.results()

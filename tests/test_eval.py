@@ -1,0 +1,106 @@
+"""Whole-scene sliding-window eval + training-loop smoke tests."""
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+from flax import nnx
+
+from mvpnet_tpu.config import Config
+from mvpnet_tpu.data.synthetic import make_scene
+from mvpnet_tpu.eval.whole_scene import (
+    Evaluator,
+    enumerate_chunk_centers,
+    evaluate_scenes,
+    predict_scene,
+)
+from mvpnet_tpu.models import build_model
+from tests.test_models import tiny_config
+from tests.test_pipeline import small_data_cfg
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(1, num_points=20000, num_frames=6, height=24, width=32, num_classes=5)
+
+
+def eval_cfg():
+    cfg = tiny_config()
+    data = small_data_cfg(chunk_size=2.0, chunk_stride=1.5)
+    return dataclasses.replace(cfg, data=data)
+
+
+def test_enumerate_chunk_centers(scene):
+    centers = enumerate_chunk_centers(scene.points, 2.0, 1.5)
+    assert len(centers) >= 4
+    lo = scene.points[:, :2].min(0)
+    hi = scene.points[:, :2].max(0)
+    assert np.all(centers >= lo - 2.0) and np.all(centers <= hi + 2.0)
+
+
+def test_evaluator_perfect_prediction():
+    ev = Evaluator(5)
+    labels = np.random.default_rng(0).integers(0, 5, 1000)
+    ev.update(labels, labels)
+    res = ev.results()
+    assert res["miou"] == 1.0 and res["accuracy"] == 1.0
+
+
+def test_evaluator_ignores_ignore_label():
+    ev = Evaluator(5)
+    labels = np.array([0, 1, -100, 2])
+    pred = np.array([0, 1, 4, 2])
+    ev.update(pred, labels)
+    assert ev.cm.sum() == 3
+
+
+def test_predict_scene_covers_points(scene):
+    cfg = eval_cfg()
+    model, _, _ = build_model(cfg, rngs=nnx.Rngs(0))
+    model.eval()
+    logits = predict_scene(model, cfg, scene, batch_size=2)
+    assert logits.shape == (len(scene.points), 5)
+    covered = (np.abs(logits).sum(axis=1) > 0).mean()
+    assert covered > 0.95, covered  # sliding window must reach ~all points
+
+
+def test_evaluate_scenes_with_export(scene, tmp_path):
+    cfg = eval_cfg()
+    model, _, _ = build_model(cfg, rngs=nnx.Rngs(0))
+    results = evaluate_scenes(
+        model, cfg, [scene], batch_size=2, export_dir=str(tmp_path)
+    )
+    assert 0.0 <= results["miou"] <= 1.0
+    assert set(results["class_iou"]) >= {"wall", "floor"}
+    # benchmark export: NYU40 ids, one per point
+    exported = np.loadtxt(tmp_path / f"{scene.name}.txt")
+    assert len(exported) == len(scene.points)
+    assert set(np.unique(exported)).issubset(set(range(41)))
+
+
+@pytest.mark.slow
+def test_train_loop_smoke(tmp_path):
+    """Few-step run of the full training loop incl. checkpoint + resume."""
+    from mvpnet_tpu.train.loop import train
+
+    cfg = eval_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        output_dir=str(tmp_path / "run"),
+        train=dataclasses.replace(
+            cfg.train,
+            batch_size=2,
+            max_steps=4,
+            log_every=2,
+            val_every=4,
+            val_steps=2,
+            ckpt_every=4,
+        ),
+    )
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    model, metrics = train(cfg)
+    assert "miou" in metrics
+    assert os.path.isdir(os.path.join(cfg.output_dir, "checkpoints"))
+    # resume: second call restores step 3 and runs nothing further
+    model2, _ = train(cfg)

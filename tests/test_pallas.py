@@ -73,3 +73,76 @@ def test_pallas_knn_duplicate_points_tie_break(rng):
     with pltpu.force_tpu_interpret_mode():
         _, i_got = pknn.knn(q, r, 2)
     np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_want))
+
+
+# ---------------------------------------------------------------------------
+# FPS kernel
+# ---------------------------------------------------------------------------
+from mvpnet_tpu.ops.pallas import fps as pfps
+from mvpnet_tpu.ops.pallas import ballquery as pbq
+
+
+@pytest.mark.parametrize("b,n,m", [(1, 128, 16), (2, 300, 33), (1, 1000, 64)])
+def test_pallas_fps_matches_reference(rng, b, n, m):
+    pts = jnp.asarray(_rand_points(rng, b, n))
+    want = ref.farthest_point_sample(pts, m)
+    with pltpu.force_tpu_interpret_mode():
+        got = pfps.farthest_point_sample(pts, m)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_fps_masked(rng):
+    pts = jnp.asarray(_rand_points(rng, 2, 200))
+    mask = np.ones((2, 200), bool)
+    mask[:, 150:] = False
+    want = ref.farthest_point_sample(pts, 16, valid_mask=jnp.asarray(mask))
+    with pltpu.force_tpu_interpret_mode():
+        got = pfps.farthest_point_sample(pts, 16, valid_mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+# ---------------------------------------------------------------------------
+# Ball query kernel
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "b,m,n,k,r",
+    [
+        (1, 32, 256, 8, 0.5),
+        (2, 100, 300, 16, 0.3),  # non-divisible tiles
+        (1, 64, 2500, 4, 0.4),   # multiple ref tiles
+    ],
+)
+def test_pallas_ball_query_matches_reference(rng, b, m, n, k, r):
+    pts = jnp.asarray(_rand_points(rng, b, n, scale=1.0))
+    centers = pts[:, :m]
+    want_idx, want_cnt = ref.ball_query(centers, pts, r, k)
+    with pltpu.force_tpu_interpret_mode():
+        got_idx, got_cnt = pbq.ball_query(centers, pts, r, k)
+    np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(want_cnt))
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
+
+
+def test_pallas_ball_query_empty_ball(rng):
+    pts = jnp.asarray(_rand_points(rng, 1, 300, scale=1.0))
+    centers = jnp.asarray(np.full((1, 8, 3), 30.0, np.float32))
+    want_idx, want_cnt = ref.ball_query(centers, pts, 0.3, 8)
+    with pltpu.force_tpu_interpret_mode():
+        got_idx, got_cnt = pbq.ball_query(centers, pts, 0.3, 8)
+    assert np.all(np.asarray(got_cnt) == 0)
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
+
+
+def test_pallas_ball_query_masked(rng):
+    pts = jnp.asarray(_rand_points(rng, 1, 400, scale=1.0))
+    centers = pts[:, :16]
+    mask = np.ones((1, 400), bool)
+    mask[:, 200:] = False
+    want_idx, want_cnt = ref.ball_query(
+        centers, pts, 0.4, 8, valid_mask=jnp.asarray(mask)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got_idx, got_cnt = pbq.ball_query(
+            centers, pts, 0.4, 8, valid_mask=jnp.asarray(mask)
+        )
+    np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(want_cnt))
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
