@@ -164,6 +164,10 @@ class TrainConfig:
     # donate params/opt-state buffers in the jitted step
     donate: bool = True
     remat: bool = False  # jax.checkpoint the 2D net to trade FLOPs for HBM
+    # capture a jax.profiler trace for steps [profile_start, profile_stop)
+    # into <output_dir>/profile; 0/0 disables
+    profile_start: int = 0
+    profile_stop: int = 0
 
 
 @dataclass(frozen=True)

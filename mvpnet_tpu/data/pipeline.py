@@ -29,6 +29,18 @@ from mvpnet_tpu.data.synthetic import Scene, make_scene
 from mvpnet_tpu.data.view_select import select_views_for_chunk
 
 
+def _scene_grid_index(scene: Scene, cell: float = 0.75):
+    """Per-scene native CSR grid index, cached on the scene (17x faster box
+    queries than the numpy scan on large scenes; data/native.py)."""
+    from mvpnet_tpu.data.native import GridIndex
+
+    gi = scene.extra.get("grid_index")
+    if gi is None:
+        gi = GridIndex(scene.points, cell=cell)
+        scene.extra["grid_index"] = gi
+    return gi
+
+
 def sample_chunk_points(
     scene: Scene,
     center_xy: np.ndarray,
@@ -36,23 +48,18 @@ def sample_chunk_points(
     chunk_size: float,
     margin: float,
     rng: np.random.Generator | None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Mask scene points into a (chunk_size+margin)^2 xy column and sample
+) -> np.ndarray:
+    """Find points inside a (chunk_size+2*margin)^2 xy column and sample
     exactly ``num_points`` indices (with replacement when short)."""
     half = chunk_size / 2 + margin
-    lo = center_xy - half
-    hi = center_xy + half
-    inside = np.all(
-        (scene.points[:, :2] >= lo) & (scene.points[:, :2] <= hi), axis=1
-    )
-    idx = np.nonzero(inside)[0]
+    idx = _scene_grid_index(scene).query_box(center_xy, half)
     if len(idx) == 0:
         idx = np.arange(len(scene.points))
     if rng is None:
         sel = idx[np.arange(num_points) % len(idx)]
     else:
         sel = rng.choice(idx, num_points, replace=len(idx) < num_points)
-    return sel, inside
+    return sel
 
 
 def make_chunk_sample(
@@ -77,7 +84,7 @@ def make_chunk_sample(
         pick = rng.choice(pool) if rng is not None else pool[0]
         center_xy = scene.points[pick, :2]
 
-    sel, _ = sample_chunk_points(
+    sel = sample_chunk_points(
         scene, center_xy, cfg.num_points, cfg.chunk_size, cfg.chunk_margin, rng
     )
     chunk_pts = scene.points[sel]

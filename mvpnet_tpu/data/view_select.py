@@ -66,6 +66,13 @@ def greedy_select_views(
       (num_views,) int frame indices, (N,) bool covered-point mask.
     """
     F, N = coverage.shape
+    from mvpnet_tpu.data.native import greedy_cover_native
+
+    if num_views <= F:
+        native = greedy_cover_native(coverage, num_views)
+        if native is not None:
+            covered = coverage[native].any(axis=0)
+            return native.astype(np.int64), covered
     remaining = np.ones(N, bool)
     chosen: list[int] = []
     for _ in range(min(num_views, F)):

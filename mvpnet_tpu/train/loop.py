@@ -21,6 +21,7 @@ from mvpnet_tpu.train.metrics import iou_from_confusion
 from mvpnet_tpu.train.solver import build_optimizer
 from mvpnet_tpu.train.step import make_eval_step, make_train_step
 from mvpnet_tpu.utils.logger import MetricLogger, setup_logger
+from mvpnet_tpu.utils.writer import MetricWriter
 
 
 def evaluate(model, eval_step, val_iter, num_batches: int, num_classes: int):
@@ -82,6 +83,7 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
 
     key = jax.random.key(cfg.train.seed)
     meters = MetricLogger()
+    writer = MetricWriter(cfg.output_dir)
     best_miou = -1.0
     total = max_steps if max_steps is not None else cfg.train.max_steps
     model.train()
@@ -89,6 +91,12 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
 
     t0 = time.perf_counter()
     for step in range(start_step, total):
+        if cfg.train.profile_stop > cfg.train.profile_start:
+            # jax.profiler trace window (SURVEY.md §5 tracing row)
+            if step == cfg.train.profile_start:
+                jax.profiler.start_trace(f"{cfg.output_dir}/profile")
+            elif step == cfg.train.profile_stop:
+                jax.profiler.stop_trace()
         batch = next(train_iter)
         meters.tick("data_time")
         key, sub = jax.random.split(key)
@@ -104,6 +112,15 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
             logger.info(
                 "step %d/%d  %s  chunks/s: %.2f", step + 1, total, meters, chunks_s
             )
+            writer.write(
+                step + 1,
+                {
+                    "loss": meters.meters["loss"].avg,
+                    "accuracy": meters.meters["accuracy"].avg,
+                    "chunks_per_sec": chunks_s,
+                },
+                prefix="train/",
+            )
 
         if (step + 1) % cfg.train.val_every == 0 or step + 1 == total:
             val_metrics = evaluate(
@@ -116,6 +133,11 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
                 val_metrics["miou"],
             )
             best_miou = max(best_miou, val_metrics["miou"])
+            writer.write(
+                step + 1,
+                {"loss": val_metrics["loss"], "miou": val_metrics["miou"]},
+                prefix="val/",
+            )
 
         if (step + 1) % cfg.train.ckpt_every == 0 or step + 1 == total:
             ckpt.save(step, model, optimizer, metrics={"miou": val_metrics.get("miou", 0.0)})
@@ -133,4 +155,5 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
         best_miou,
     )
     ckpt.close()
+    writer.close()
     return model, val_metrics

@@ -155,3 +155,36 @@ def test_build_dataset_factory():
     ds = build_dataset(cfg, batch_size=1, training=True, seed=0)
     b = next(iter(ds))
     assert b["points"].shape[0] == 1
+
+
+def test_native_grid_index_matches_numpy(rng):
+    from mvpnet_tpu.data.native import GridIndex
+
+    pts = rng.uniform(0, 8, (50000, 3)).astype(np.float32)
+    gi = GridIndex(pts, cell=0.6)
+    for center, half in [((4.0, 4.0), 0.95), ((0.2, 7.8), 1.2), ((9.5, 9.5), 0.5)]:
+        got = set(gi.query_box(center, half).tolist())
+        near = np.abs(pts[:, :2] - np.asarray(center))
+        want = set(np.nonzero((near[:, 0] <= half) & (near[:, 1] <= half))[0].tolist())
+        assert got == want
+
+
+def test_native_greedy_matches_python(rng):
+    from mvpnet_tpu.data.native import greedy_cover_native
+    from mvpnet_tpu.data.view_select import greedy_select_views
+
+    cov = rng.random((16, 300)) < 0.25
+    native = greedy_cover_native(cov, 4)
+    if native is None:
+        pytest.skip("native lib unavailable")
+    # python fallback path (bypasses the native shortcut via F < num_views)
+    remaining = np.ones(cov.shape[1], bool)
+    chosen = []
+    for _ in range(4):
+        gains = cov[:, remaining].sum(axis=1)
+        if chosen:
+            gains[np.asarray(chosen)] = -1
+        best = int(np.argmax(gains))
+        chosen.append(best)
+        remaining &= ~cov[best]
+    np.testing.assert_array_equal(native, chosen)
