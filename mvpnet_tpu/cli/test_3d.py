@@ -33,6 +33,11 @@ def main(argv=None):
     model, _, _ = build_model(cfg, rngs=nnx.Rngs(0))
     ckpt = Checkpointer(f"{cfg.output_dir}/checkpoints")
     step = ckpt.restore(model)
+    if step is None:
+        raise SystemExit(
+            f"no checkpoint found under {cfg.output_dir}/checkpoints — "
+            "train first or point output_dir at a trained run"
+        )
     logger.info("restored checkpoint step=%s", step)
 
     # evaluate on the validation scenes

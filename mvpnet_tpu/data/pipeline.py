@@ -163,12 +163,15 @@ class ChunkDataset:
 
 
 class PrefetchIterator:
-    """Background-thread batch producer + device_put double buffering.
+    """Background-thread batch producer + consumer-side device_put.
 
     Replaces torch DataLoader worker processes (reference build_dataloader,
     SURVEY.md §2.3 last row): the host work per batch is small enough for a
-    thread pool; device transfer overlaps compute via ``prefetch`` in-flight
-    device batches.
+    thread pool. Worker threads produce HOST batches only; the single
+    consumer thread issues jax.device_put (async, so the H2D copy of batch
+    k+1 still overlaps step k's compute). Device calls from many threads
+    concurrently with a jit compile can deadlock the tunneled TPU platform,
+    so all jax interaction stays on the consumer thread.
     """
 
     def __init__(self, iterable, prefetch: int = 2, num_threads: int = 4, device=None):
@@ -192,10 +195,6 @@ class PrefetchIterator:
             except StopIteration:
                 self._queue.put(None)
                 return
-            if self._device is not None:
-                batch = jax.device_put(batch, self._device)
-            else:
-                batch = jax.device_put(batch)
             self._queue.put(batch)
 
     def __iter__(self):
@@ -205,7 +204,9 @@ class PrefetchIterator:
         item = self._queue.get()
         if item is None:
             raise StopIteration
-        return item
+        if self._device is not None:
+            return jax.device_put(item, self._device)
+        return jax.device_put(item)
 
     def close(self):
         self._stop.set()

@@ -33,28 +33,34 @@ class Checkpointer:
         )
 
     def save(self, step: int, model, optimizer=None, metrics: dict | None = None):
-        state: dict[str, Any] = {"model": nnx.state(model)}
+        items: dict[str, Any] = {
+            "model": ocp.args.StandardSave(nnx.state(model))
+        }
         if optimizer is not None:
-            state["opt"] = nnx.state(optimizer)
+            items["opt"] = ocp.args.StandardSave(nnx.state(optimizer))
         metrics = {
             k: float(v) for k, v in (metrics or {}).items() if np.isscalar(v) or getattr(v, "ndim", 1) == 0
         }
         self.manager.save(
-            step, args=ocp.args.StandardSave(state), metrics=metrics or None
+            step, args=ocp.args.Composite(**items), metrics=metrics or None
         )
 
     def restore(self, model, optimizer=None, step: int | None = None) -> int | None:
-        """Restore in place; returns the restored step or None."""
+        """Restore in place; returns the restored step or None.
+
+        Items are stored separately (Composite), so eval can restore the
+        model without the optimizer state being present in the target.
+        """
         if step is None:
             step = self.manager.latest_step()
         if step is None:
             return None
-        target: dict[str, Any] = {"model": nnx.state(model)}
+        items: dict[str, Any] = {
+            "model": ocp.args.StandardRestore(nnx.state(model))
+        }
         if optimizer is not None:
-            target["opt"] = nnx.state(optimizer)
-        restored = self.manager.restore(
-            step, args=ocp.args.StandardRestore(target)
-        )
+            items["opt"] = ocp.args.StandardRestore(nnx.state(optimizer))
+        restored = self.manager.restore(step, args=ocp.args.Composite(**items))
         nnx.update(model, restored["model"])
         if optimizer is not None:
             nnx.update(optimizer, restored["opt"])
@@ -80,8 +86,12 @@ def warm_start_2d(model_3d, ckpt_dir_2d: str) -> bool:
     step = mgr.latest_step()
     if step is None:
         return False
-    target = {"model": nnx.state(model_3d.net_2d)}
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+    restored = mgr.restore(
+        step,
+        args=ocp.args.Composite(
+            model=ocp.args.StandardRestore(nnx.state(model_3d.net_2d))
+        ),
+    )
     nnx.update(model_3d.net_2d, restored["model"])
     mgr.close()
     return True

@@ -24,7 +24,7 @@ from mvpnet_tpu.utils.logger import MetricLogger, setup_logger
 from mvpnet_tpu.utils.writer import MetricWriter
 
 
-def evaluate(model, eval_step, val_iter, num_batches: int, num_classes: int):
+def evaluate(model, eval_step, val_iter, num_batches: int, num_classes: int, set_train_fn=None):
     """Chunk-level validation: accumulate the confusion matrix on device."""
     model.eval()
     cm = None
@@ -34,7 +34,10 @@ def evaluate(model, eval_step, val_iter, num_batches: int, num_classes: int):
         m = eval_step(model, batch)
         cm = m["confusion"] if cm is None else cm + m["confusion"]
         losses.append(m["loss"])
-    model.train()
+    if set_train_fn is not None:
+        set_train_fn()
+    else:
+        model.train()
     iou, miou = iou_from_confusion(cm)
     return {
         "miou": float(miou),
@@ -58,6 +61,12 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
 
     wrt = freeze_filter(cfg.model.freeze_2d)
     optimizer = nnx.Optimizer(model, build_optimizer(cfg.solver), wrt=wrt)
+
+    def set_train():
+        model.train()
+        if cfg.model.freeze_2d and hasattr(model, "net_2d"):
+            # frozen 2D net: params out of the optimizer AND batch stats frozen
+            model.net_2d.eval()
 
     ckpt = Checkpointer(f"{cfg.output_dir}/checkpoints", keep=cfg.train.ckpt_keep)
     start_step = 0
@@ -86,7 +95,7 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
     writer = MetricWriter(cfg.output_dir)
     best_miou = -1.0
     total = max_steps if max_steps is not None else cfg.train.max_steps
-    model.train()
+    set_train()
     val_metrics: dict = {}
 
     t0 = time.perf_counter()
@@ -124,7 +133,12 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
 
         if (step + 1) % cfg.train.val_every == 0 or step + 1 == total:
             val_metrics = evaluate(
-                model, eval_step, val_iter, cfg.train.val_steps, cfg.data.num_classes
+                model,
+                eval_step,
+                val_iter,
+                cfg.train.val_steps,
+                cfg.data.num_classes,
+                set_train_fn=set_train,
             )
             logger.info(
                 "val @%d  loss: %.4f  mIoU: %.4f",
