@@ -43,8 +43,9 @@ def main(argv=None):
 
     @jax.jit
     def forward(images):
-        _, logits = model(images)
-        return logits
+        # SemSeg2D takes the standard batch dict with a views axis
+        _, logits = model({"images": images[:, None]})
+        return logits[:, 0]
 
     ds = build_dataset(cfg.data, batch_size=1, training=False, seed=0)
     evaluator = Evaluator(cfg.data.num_classes, cfg.data.ignore_label)

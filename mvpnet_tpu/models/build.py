@@ -7,11 +7,35 @@ from __future__ import annotations
 
 from flax import nnx
 
-from mvpnet_tpu.config import Config
+from flax import nnx as _nnx
+
+from mvpnet_tpu.config import Config, ModelConfig
 from mvpnet_tpu.models.fusion import MVPNet3D
 from mvpnet_tpu.models.pointnet2 import PN2SSG
 from mvpnet_tpu.models.unet import UNetResNet34
 from mvpnet_tpu.train import metrics as M
+
+
+class SemSeg2D(_nnx.Module):
+    """2D pretraining wrapper: standard batch dict -> per-view seg logits.
+
+    The UNet lives under the attribute name ``net_2d`` so this run's
+    checkpointed param tree lines up with ``MVPNet3D.net_2d`` for the
+    warm-start restore (reference train_3d loads the 2D seg checkpoint —
+    SURVEY.md §3.1).
+    """
+
+    def __init__(self, cfg: ModelConfig, *, rngs):
+        self.net_2d = UNetResNet34(cfg.unet, rngs=rngs)
+
+    def __call__(self, batch):
+        images = batch["images"]  # (B, V, H, W, 3)
+        B, V, H, W, _ = images.shape
+        feat, logits = self.net_2d(images.reshape(B * V, H, W, 3))
+        return (
+            feat.reshape(B, V, H, W, -1),
+            logits.reshape(B, V, H, W, -1),
+        )
 
 
 def build_model(cfg: Config, *, rngs: nnx.Rngs):
@@ -44,7 +68,7 @@ def build_model(cfg: Config, *, rngs: nnx.Rngs):
         return model, loss_fn, metric_fn
 
     if name == "sem_seg_2d":
-        model = UNetResNet34(cfg.model.unet, rngs=rngs)
+        model = SemSeg2D(cfg.model, rngs=rngs)
 
         def loss_fn(out, batch):
             _, logits = out

@@ -86,13 +86,13 @@ def warm_start_2d(model_3d, ckpt_dir_2d: str) -> bool:
     step = mgr.latest_step()
     if step is None:
         return False
+    # the 2D run checkpoints a SemSeg2D whose UNet lives under "net_2d",
+    # matching MVPNet3D.net_2d — restore that subtree directly
+    target = {"net_2d": nnx.state(model_3d.net_2d)}
     restored = mgr.restore(
-        step,
-        args=ocp.args.Composite(
-            model=ocp.args.StandardRestore(nnx.state(model_3d.net_2d))
-        ),
+        step, args=ocp.args.Composite(model=ocp.args.StandardRestore(target))
     )
-    nnx.update(model_3d.net_2d, restored["model"])
+    nnx.update(model_3d.net_2d, restored["model"]["net_2d"])
     mgr.close()
     return True
 

@@ -104,3 +104,49 @@ def test_train_loop_smoke(tmp_path):
     assert os.path.isdir(os.path.join(cfg.output_dir, "checkpoints"))
     # resume: second call restores step 3 and runs nothing further
     model2, _ = train(cfg)
+
+
+def test_2d_pretrain_and_warm_start(tmp_path, rng):
+    """2D model trains via the standard step; its checkpoint warm-starts the
+    3D model's net_2d (reference train_3d behavior, SURVEY.md §3.1)."""
+    import jax
+    import jax.numpy as jnp
+    from mvpnet_tpu.models import build_model
+    from mvpnet_tpu.train.checkpoint import Checkpointer, warm_start_2d
+    from mvpnet_tpu.train.solver import build_optimizer
+    from mvpnet_tpu.train.step import make_train_step
+
+    cfg = eval_cfg()
+    cfg2d = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, name="sem_seg_2d")
+    )
+    model2d, loss_fn, metric_fn = build_model(cfg2d, rngs=nnx.Rngs(7))
+    optimizer = nnx.Optimizer(
+        model2d, build_optimizer(cfg2d.solver), wrt=nnx.Param
+    )
+    step = make_train_step(cfg2d, loss_fn, metric_fn)
+    B, V, H, W = 2, 2, 24, 32
+    batch = {
+        "points": np.zeros((B, 8, 3), np.float32),
+        "seg_label": np.zeros((B, 8), np.int32),
+        "images": rng.uniform(size=(B, V, H, W, 3)).astype(np.float32),
+        "depth": rng.uniform(0.5, 2, (B, V, H, W)).astype(np.float32),
+        "poses": np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1)),
+        "intrinsics": np.tile(np.eye(3, dtype=np.float32) * 8, (B, 1, 1)),
+        "seg_label_2d": rng.integers(0, 5, (B, V, H, W)).astype(np.int32),
+    }
+    m = step(model2d, optimizer, jax.device_put(batch), jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt2d"))
+    ckpt.save(0, model2d, optimizer)
+    ckpt.wait()
+    ckpt.close()
+
+    model3d, _, _ = build_model(cfg, rngs=nnx.Rngs(99))
+    before = jax.tree.leaves(nnx.state(model3d.net_2d, nnx.Param))[0]
+    assert warm_start_2d(model3d, str(tmp_path / "ckpt2d"))
+    want = jax.tree.leaves(nnx.state(model2d.net_2d, nnx.Param))[0]
+    got = jax.tree.leaves(nnx.state(model3d.net_2d, nnx.Param))[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+    assert not np.allclose(np.asarray(got), np.asarray(before))
