@@ -1,0 +1,293 @@
+"""Morton-sorted, bound-gated exact kNN Pallas kernel.
+
+Production path for LARGE reference clouds — the 2D-3D fusion kNN
+(8192 chunk points x V*H*W unprojected pixels; reference semantics:
+mvpnet/data/scannet_2d3d.py CPU KDTree, UNVERIFIED; SURVEY.md §3.4) — where
+the plain tiled kernel (ops/pallas/knn.py) pays full |Q|x|R| VPU cost.
+
+Design (exact — same arithmetic as the brute kernel, just skips work it can
+prove useless):
+  1. Sort queries and refs by 30-bit Morton code (cheap jnp prep) so
+     consecutive slabs are spatially compact.
+  2. Per query tile, visit ref tiles in ascending box-box-lower-bound order
+     (a per-tile permutation rides scalar prefetch and drives the ref
+     BlockSpec index_map). Nearest tiles come first, so the running k-th
+     best distance tightens immediately.
+  3. Inside the kernel the query tile is split into 8-row SUBGROUPS. For
+     each subgroup g and ref tile t the kernel computes the exact AABB
+     lower bound lb(g, t) (a handful of VPU ops) and runs the 9-op exact
+     distance + top-k extraction ONLY when lb(g, t) < the subgroup's worst
+     running k-th distance. After the first (nearest) tiles, almost every
+     subgroup proves every remaining tile irrelevant — the steady state is
+     one tiny bound check per (subgroup, tile).
+  4. Results are mapped back through the two sort permutations.
+
+Why not other designs (all measured on v5e, B4 8192x96k surface clouds —
+see git history / PERF_NOTES):
+  * MXU scoring (|r|^2-2qr): HIGHEST-precision dot is slower than the 9-op
+    VPU form at contraction depth 3; DEFAULT (bf16) corrupts ~48% of
+    neighbor sets. Mosaic rejects HIGH.
+  * Candidate-tile pruning with static top-T lists: box bounds on surface
+    clouds pass 40-80% of tiles (Morton tiles of wall/floor scans have
+    huge overlapping AABBs) — the adaptive running bound here is the only
+    bound tight enough to prune.
+  * XLA gather-based window search: ~36ns/element random gather on TPU
+    makes any gather-per-candidate scheme 10-40x slower than brute force.
+
+Exactness: the skip condition lb(g,t) >= worst_k(g) can only discard tiles
+that cannot improve any row of the subgroup, so results equal the brute
+kernel everywhere except the index CHOICE between exactly-equal distances
+(ties follow the lb-sorted visit order instead of lowest-original-index;
+measure-zero for continuous inputs).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mvpnet_tpu.ops.pallas.knn import _knn_bwd, _merge_candidate
+
+_TILE_M = 256
+_TILE_N = 2048
+_TILE_N_BIG = 8192  # larger ref tiles amortize the per-program branch cost
+_BIG_N = 1 << 18
+_SUB = 8  # rows per gated subgroup (one f32 sublane)
+_MAX_K = 8
+# ref padding sentinel: beyond the 1e9 masked-ref sentinel so padding never
+# outranks a masked-but-real ref; (3e9)^2*3 < f32 max
+_PAD_COORD = 3e9
+
+
+def supported(queries, refs, k: int) -> bool:
+    return (
+        queries.ndim == 3
+        and refs.ndim == 3
+        and queries.shape[-1] == 3
+        and refs.shape[-1] == 3
+        and 1 <= k <= _MAX_K
+        and refs.shape[1] >= k
+        # below this the gating + sorting prep is a wash vs the brute kernel
+        # (measured on v5e: equal at 96k refs, 5.6x faster at 1.23M refs)
+        and refs.shape[1] >= _BIG_N
+        and queries.shape[1] >= _TILE_M
+    )
+
+
+def _morton_code(xyz, lo, hi):
+    """30-bit Morton code from 10 bits/dim; xyz (..., 3), lo/hi (..., 1, 3)."""
+    scale = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((xyz - lo) / scale, 0.0, 1.0 - 1e-7)
+    cell = (q * 1024.0).astype(jnp.int32)  # (..., 3) in [0, 1023]
+
+    def spread(v):  # interleave: 10 bits -> every 3rd bit
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    x, y, z = cell[..., 0], cell[..., 1], cell[..., 2]
+    return spread(x) | (spread(y) << 1) | (spread(z) << 2)
+
+
+def _tile_bounds(sorted_xyz, tile):
+    """(B, N, 3) -> per-tile AABB (B, N//tile, 3) lo / hi."""
+    B, N, _ = sorted_xyz.shape
+    t = sorted_xyz.reshape(B, N // tile, tile, 3)
+    return jnp.min(t, axis=2), jnp.max(t, axis=2)
+
+
+def _box_sqdist(alo, ahi, blo, bhi):
+    """Min squared distance between AABB sets: (B,Mt,3) x (B,Nt,3) -> (B,Mt,Nt)."""
+    gap = jnp.maximum(
+        0.0,
+        jnp.maximum(
+            alo[:, :, None, :] - bhi[:, None, :, :],
+            blo[:, None, :, :] - ahi[:, :, None, :],
+        ),
+    )
+    return jnp.sum(gap * gap, axis=-1)
+
+
+def _gated_kernel(order_ref, q_ref, r_ref, d_out, i_out, best_d, best_i, *, k, tile_n):
+    t = pl.program_id(2)
+    n_tiles = pl.num_programs(2)
+    b = pl.program_id(0)
+    im = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        best_d[:] = jnp.full(best_d.shape, jnp.inf, jnp.float32)
+        best_i[:] = jnp.zeros(best_i.shape, jnp.int32)
+
+    q = q_ref[0]  # (TM, 3)
+    r = r_ref[0]  # (3, TN)
+    tile_id = order_ref[b, im, t]
+    tm = q.shape[0]
+    n_sub = tm // _SUB
+
+    # ref-tile AABB (two passes over (3, TN)) and per-subgroup AABBs
+    rlo = jnp.min(r, axis=1)  # (3,)
+    rhi = jnp.max(r, axis=1)  # (3,)
+    qg = q.reshape(n_sub, _SUB, 3)
+    glo = jnp.min(qg, axis=1)  # (n_sub, 3)
+    ghi = jnp.max(qg, axis=1)  # (n_sub, 3)
+    gap = jnp.maximum(0.0, jnp.maximum(glo - rhi[None, :], rlo[None, :] - ghi))
+    lb = jnp.sum(gap * gap, axis=1)  # (n_sub,)
+    # per-subgroup worst running k-th distance
+    worst = jnp.max(best_d[:, k - 1].reshape(n_sub, _SUB), axis=1)  # (n_sub,)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (_SUB, r.shape[1]), 1)
+    for g in range(n_sub):
+        @pl.when(lb[g] < worst[g])
+        def _subgroup(g=g):
+            qs = q[g * _SUB : (g + 1) * _SUB]  # (SUB, 3)
+            dx = qs[:, 0:1] - r[0:1, :]
+            dy = qs[:, 1:2] - r[1:2, :]
+            dz = qs[:, 2:3] - r[2:3, :]
+            d2 = dx * dx + dy * dy + dz * dz  # (SUB, TN)
+            bd = best_d[g * _SUB : (g + 1) * _SUB, :]
+            bi = best_i[g * _SUB : (g + 1) * _SUB, :]
+            d2m = d2
+            for _ in range(k):
+                cand_d = jnp.min(d2m, axis=1)
+                cand_a = jnp.argmin(d2m, axis=1).astype(jnp.int32)
+                cand_i = cand_a + tile_id * tile_n
+                bd, bi = _merge_candidate(bd, bi, cand_d, cand_i)
+                d2m = jnp.where(col == cand_a[:, None], jnp.inf, d2m)
+            best_d[g * _SUB : (g + 1) * _SUB, :] = bd
+            best_i[g * _SUB : (g + 1) * _SUB, :] = bi
+
+    @pl.when(t == n_tiles - 1)
+    def _write():
+        d_out[0] = best_d[:]
+        i_out[0] = best_i[:]
+
+
+def _prepare(queries, refs, tile_m, tile_n):
+    """Morton-sort both sides, pad to tiles, rank ref tiles per query tile."""
+    B, M, _ = queries.shape
+    N = refs.shape[1]
+    q = queries.astype(jnp.float32)
+    r = refs.astype(jnp.float32)
+
+    # Quantization box from the queries (chunk): refs far outside clamp to
+    # boundary cells; their tiles get distant AABBs -> visited last, skipped.
+    lo = jnp.min(q, axis=1, keepdims=True)
+    hi = jnp.max(q, axis=1, keepdims=True)
+
+    q_order = jnp.argsort(_morton_code(q, lo, hi), axis=1).astype(jnp.int32)
+    r_order = jnp.argsort(_morton_code(r, lo, hi), axis=1).astype(jnp.int32)
+    q_sorted = jnp.take_along_axis(q, q_order[..., None], axis=1)
+    r_sorted = jnp.take_along_axis(r, r_order[..., None], axis=1)
+
+    M_pad = pl.cdiv(M, tile_m) * tile_m
+    N_pad = pl.cdiv(N, tile_n) * tile_n
+    if M_pad > M:
+        q_sorted = jnp.pad(
+            q_sorted, ((0, 0), (0, M_pad - M), (0, 0)), constant_values=_PAD_COORD
+        )
+    if N_pad > N:
+        r_sorted = jnp.pad(
+            r_sorted, ((0, 0), (0, N_pad - N), (0, 0)), constant_values=_PAD_COORD
+        )
+
+    qlo, qhi = _tile_bounds(q_sorted, tile_m)
+    rlo, rhi = _tile_bounds(r_sorted, tile_n)
+    lb = _box_sqdist(qlo, qhi, rlo, rhi)  # (B, Mt, Nt)
+    order = jnp.argsort(lb, axis=-1).astype(jnp.int32)  # nearest tiles first
+    return q_sorted, r_sorted, q_order, r_order, order, M_pad, N_pad
+
+
+def _knn_forward(queries, refs, k: int):
+    B, M, _ = queries.shape
+    N = refs.shape[1]
+    tile_m = min(_TILE_M, max(_SUB, M))
+    tile_n = _TILE_N_BIG if N >= _BIG_N else _TILE_N
+
+    q_sorted, r_sorted, q_order, r_order, order, M_pad, N_pad = _prepare(
+        queries, refs, tile_m, tile_n
+    )
+    nt = N_pad // tile_n
+    rT = jnp.swapaxes(r_sorted, 1, 2)  # (B, 3, N_pad)
+
+    grid = (B, M_pad // tile_m, nt)
+    kernel = functools.partial(_gated_kernel, k=k, tile_n=tile_n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_m, 3),
+                lambda b, im, t, order: (b, im, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, tile_n),
+                lambda b, im, t, order: (b, 0, order[b, im, t]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_m, k),
+                lambda b, im, t, order: (b, im, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_m, k),
+                lambda b, im, t, order: (b, im, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, k), jnp.float32),
+            pltpu.VMEM((tile_m, k), jnp.int32),
+        ],
+    )
+    d_s, i_s = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, M_pad, k), jnp.int32),
+        ],
+    )(order, q_sorted, rT)
+
+    d_s, i_s = d_s[:, :M], i_s[:, :M]
+    # sorted-ref index -> original ref index (padding columns can only win in
+    # degenerate <k-valid-ref cases; the clamp keeps the gather in range)
+    i_orig = jnp.take_along_axis(
+        r_order, jnp.clip(i_s, 0, N - 1).reshape(B, -1), axis=1
+    ).reshape(B, M, k)
+    # unsort the queries
+    inv = jnp.argsort(q_order, axis=1)
+    d = jnp.take_along_axis(d_s, inv[..., None], axis=1)
+    i = jnp.take_along_axis(i_orig, inv[..., None], axis=1)
+    return d, i
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def knn_gated(queries, refs, k: int):
+    return _knn_forward(queries, refs, k)
+
+
+def _fwd(queries, refs, k):
+    d, i = _knn_forward(queries, refs, k)
+    return (d, i), (queries, refs, i)
+
+
+# backward is pure index math on original-space indices — identical to the
+# brute kernel's analytic VJP
+knn_gated.defvjp(_fwd, _knn_bwd)
+
+
+def knn(queries, refs, k: int, ref_mask=None):
+    """Gated Pallas kNN with the reference contract (ops.reference.knn)."""
+    if ref_mask is not None:
+        refs = jnp.where(ref_mask[..., None], refs, jnp.asarray(1e9, refs.dtype))
+    return knn_gated(queries, refs, k)

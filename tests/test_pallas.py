@@ -76,6 +76,108 @@ def test_pallas_knn_duplicate_points_tie_break(rng):
 
 
 # ---------------------------------------------------------------------------
+# Morton-sorted bound-gated kNN kernel (large-ref production path)
+# ---------------------------------------------------------------------------
+from mvpnet_tpu.ops.pallas import knn_bucketed as pgated
+
+
+@pytest.fixture
+def small_gated_tiles(monkeypatch):
+    """Shrink tiles so interpret-mode runs exercise multi-tile gating."""
+    monkeypatch.setattr(pgated, "_TILE_M", 32)
+    monkeypatch.setattr(pgated, "_TILE_N", 64)
+    monkeypatch.setattr(pgated, "_TILE_N_BIG", 64)
+
+
+@pytest.mark.parametrize(
+    "b,m,n,k",
+    [
+        (2, 100, 1000, 3),
+        (1, 37, 500, 4),  # non-divisible tiles
+        (1, 64, 800, 1),
+    ],
+)
+def test_gated_knn_matches_reference(rng, small_gated_tiles, b, m, n, k):
+    q = jnp.asarray(_rand_points(rng, b, m))
+    r = jnp.asarray(_rand_points(rng, b, n))
+    d_want, i_want = ref.knn(q, r, k)
+    with pltpu.force_tpu_interpret_mode():
+        d_got, i_got = pgated.knn(q, r, k)
+    # ties follow visit order, not index order -> compare neighbor SETS and
+    # distances (continuous random data has no ties anyway)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(i_got), -1), np.sort(np.asarray(i_want), -1)
+    )
+    np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_want), atol=1e-5)
+
+
+def test_gated_knn_surface_cloud(rng, small_gated_tiles):
+    # surface-concentrated refs (the fusion pixel-cloud shape): points on a
+    # few planes, where AABB pruning is weakest
+    planes = []
+    for ax in range(3):
+        p = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+        p[:, ax] = rng.uniform(-1, 1) + rng.normal(0, 0.005, 300)
+        planes.append(p)
+    r = jnp.asarray(np.concatenate(planes)[None])
+    q = jnp.asarray(_rand_points(rng, 1, 80, scale=1.0))
+    d_want, i_want = ref.knn(q, r, 3)
+    with pltpu.force_tpu_interpret_mode():
+        d_got, i_got = pgated.knn(q, r, 3)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(i_got), -1), np.sort(np.asarray(i_want), -1)
+    )
+    np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_want), atol=1e-5)
+
+
+def test_gated_knn_ref_mask(rng, small_gated_tiles):
+    q = jnp.asarray(_rand_points(rng, 1, 16))
+    r = jnp.asarray(_rand_points(rng, 1, 400))
+    mask = np.ones((1, 400), bool)
+    mask[:, 200:] = False
+    d_want, i_want = ref.knn(q, r, 3, ref_mask=jnp.asarray(mask))
+    with pltpu.force_tpu_interpret_mode():
+        d_got, i_got = pgated.knn(q, r, 3, ref_mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(i_got), -1), np.sort(np.asarray(i_want), -1)
+    )
+    np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_want), atol=1e-5)
+
+
+def test_gated_knn_grad_matches_reference(rng, small_gated_tiles):
+    q = jnp.asarray(_rand_points(rng, 1, 24))
+    r = jnp.asarray(_rand_points(rng, 1, 300))
+
+    def loss_ref(q, r):
+        d, _ = ref.knn(q, r, 3)
+        return jnp.sum(jnp.sin(d))
+
+    def loss_gated(q, r):
+        with pltpu.force_tpu_interpret_mode():
+            d, _ = pgated.knn(q, r, 3)
+        return jnp.sum(jnp.sin(d))
+
+    gq_ref, gr_ref = jax.grad(loss_ref, argnums=(0, 1))(q, r)
+    gq_g, gr_g = jax.grad(loss_gated, argnums=(0, 1))(q, r)
+    np.testing.assert_allclose(np.asarray(gq_g), np.asarray(gq_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gr_g), np.asarray(gr_ref), atol=1e-4)
+
+
+def test_morton_code_locality(rng):
+    # nearby points get nearby codes: code of a point equals code of itself
+    # perturbed within a cell
+    pts = jnp.asarray(_rand_points(rng, 1, 64))
+    lo = jnp.min(pts, axis=1, keepdims=True)
+    hi = jnp.max(pts, axis=1, keepdims=True)
+    codes = pgated._morton_code(pts, lo, hi)
+    assert codes.shape == (1, 64)
+    assert int(jnp.min(codes)) >= 0
+    # identical points -> identical codes
+    codes2 = pgated._morton_code(pts, lo, hi)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes2))
+
+
+# ---------------------------------------------------------------------------
 # FPS kernel
 # ---------------------------------------------------------------------------
 from mvpnet_tpu.ops.pallas import fps as pfps
