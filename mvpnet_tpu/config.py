@@ -125,6 +125,9 @@ class DataConfig:
     color_jitter: float = 0.4
     flip_prob: float = 0.5
     z_rot: bool = True
+    # ship images as uint8 / depth as uint16 mm across the host->device
+    # boundary and convert inside the jitted step (4x less H2D traffic)
+    compact_transfer: bool = True
     # host-side prefetch depth (double-buffered device_put)
     prefetch: int = 2
     num_workers: int = 8

@@ -107,12 +107,21 @@ def make_chunk_sample(
         rng=rng,
     )
 
+    if cfg.compact_transfer:
+        # quantized wire format; prepare_batch dequantizes on device
+        images = np.clip(scene.rgb[frames] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        depth = np.clip(scene.depth[frames] * 1000.0 + 0.5, 0, 65535).astype(
+            np.uint16
+        )
+    else:
+        images = scene.rgb[frames].astype(np.float32)
+        depth = scene.depth[frames].astype(np.float32)
     return {
         "points": chunk_pts.astype(np.float32),
         "colors": scene.colors[sel].astype(np.float32),
         "seg_label": scene.labels[sel].astype(np.int32),
-        "images": scene.rgb[frames].astype(np.float32),
-        "depth": scene.depth[frames].astype(np.float32),
+        "images": images,
+        "depth": depth,
         "poses": scene.poses[frames].astype(np.float32),
         "intrinsics": scene.intrinsics.astype(np.float32),
         "seg_label_2d": scene.label_2d[frames].astype(np.int32),
@@ -174,10 +183,18 @@ class PrefetchIterator:
     so all jax interaction stays on the consumer thread.
     """
 
-    def __init__(self, iterable, prefetch: int = 2, num_threads: int = 4, device=None):
+    def __init__(
+        self,
+        iterable,
+        prefetch: int = 2,
+        num_threads: int = 4,
+        device=None,
+        put_fn=None,
+    ):
         self._queue: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
         self._iterator = iter(iterable)
         self._device = device
+        self._put_fn = put_fn
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self._threads = [
@@ -204,6 +221,9 @@ class PrefetchIterator:
         item = self._queue.get()
         if item is None:
             raise StopIteration
+        if self._put_fn is not None:
+            # mesh mode: assemble a globally-sharded batch (dist/bootstrap.py)
+            return self._put_fn(item)
         if self._device is not None:
             return jax.device_put(item, self._device)
         return jax.device_put(item)

@@ -27,25 +27,68 @@ import numpy as np
 from mvpnet_tpu.data.meta import nyu40_to_train, parse_label_mapping
 
 
+_PLY_TYPES = {
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
+def _read_ply_numpy(path: str):
+    """Pure-numpy PLY vertex reader (ascii + binary_little_endian), covering
+    the ScanNet vh_clean_2 layout: flat vertex properties, no lists."""
+    with open(path, "rb") as fh:
+        if fh.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        count = 0
+        fields: list[tuple[str, str]] = []
+        in_vertex = False
+        while True:
+            line = fh.readline().decode("ascii").strip()
+            if line == "end_header":
+                break
+            tok = line.split()
+            if tok[0] == "format":
+                fmt = tok[1]
+            elif tok[0] == "element":
+                in_vertex = tok[1] == "vertex"
+                if in_vertex:
+                    count = int(tok[2])
+            elif tok[0] == "property" and in_vertex:
+                if tok[1] == "list":
+                    raise ValueError(f"{path}: list vertex properties unsupported")
+                fields.append((tok[2], _PLY_TYPES[tok[1]]))
+        if fmt == "ascii":
+            rows = [fh.readline().split() for _ in range(count)]
+            data = np.array(
+                [tuple(r[: len(fields)]) for r in rows],
+                dtype=[(n, t) for n, t in fields],
+            )
+        elif fmt == "binary_little_endian":
+            dtype = np.dtype([(n, "<" + t) for n, t in fields])
+            data = np.frombuffer(fh.read(count * dtype.itemsize), dtype=dtype)
+        else:
+            raise ValueError(f"{path}: unsupported PLY format {fmt}")
+    return data
+
+
 def _read_ply_vertices(path: str):
     """Minimal binary/ascii PLY vertex reader (x,y,z[,r,g,b][,label])."""
     try:
         from plyfile import PlyData  # optional dependency
 
-        ply = PlyData.read(path)
-        v = ply["vertex"]
-        names = v.data.dtype.names
-        xyz = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float32)
-        rgb = None
-        if "red" in names:
-            rgb = np.stack([v["red"], v["green"], v["blue"]], axis=1).astype(np.uint8)
-        label = np.asarray(v["label"]).astype(np.int32) if "label" in names else None
-        return xyz, rgb, label
-    except ImportError as e:  # pragma: no cover - plyfile not in this image
-        raise RuntimeError(
-            "plyfile is required for PLY parsing; install it or convert "
-            "scenes to npz externally"
-        ) from e
+        v = PlyData.read(path)["vertex"].data
+    except ImportError:  # plyfile not in this image: numpy fallback
+        v = _read_ply_numpy(path)
+    names = v.dtype.names
+    xyz = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float32)
+    rgb = None
+    if "red" in names:
+        rgb = np.stack([v["red"], v["green"], v["blue"]], axis=1).astype(np.uint8)
+    label = np.asarray(v["label"]).astype(np.int32) if "label" in names else None
+    return xyz, rgb, label
 
 
 def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -96,7 +139,8 @@ def preprocess_scene(
     frame_ids = sorted(
         int(os.path.splitext(f)[0]) for f in os.listdir(color_dir)
     )[::frame_skip]
-    depths, rgbs, poses = [], [], []
+    depths, rgbs, poses, labels_2d = [], [], [], []
+    label_dir = os.path.join(scan, "label")
     for fid in frame_ids:
         pose = np.loadtxt(os.path.join(scan, "pose", f"{fid}.txt")).astype(np.float32)
         if not np.all(np.isfinite(pose)):
@@ -104,9 +148,16 @@ def preprocess_scene(
         col = np.asarray(Image.open(os.path.join(scan, "color", f"{fid}.jpg")))
         dep = np.asarray(Image.open(os.path.join(scan, "depth", f"{fid}.png")))
         rgbs.append(_resize_nearest(col, height, width))
-        scale_h = dep.shape[0] / height
         depths.append(_resize_nearest(dep, height, width))
         poses.append(pose)
+        # optional 2D label maps (nyu40 ids), nearest-resized like the
+        # reference's ScanNet2D label path (SURVEY.md §2.2 "2D dataset")
+        lab_path = os.path.join(label_dir, f"{fid}.png")
+        if os.path.isfile(lab_path):
+            nyu_img = _resize_nearest(
+                np.asarray(Image.open(lab_path)).astype(np.int64), height, width
+            )
+            labels_2d.append(label_table[np.clip(nyu_img, 0, 40)])
     intr = np.loadtxt(
         os.path.join(scan, "intrinsic", "intrinsic_depth.txt")
     ).astype(np.float32)[:3, :3]
@@ -118,6 +169,11 @@ def preprocess_scene(
     intr = intr * np.array([[sx, 0, sx], [0, sy, sy], [0, 0, 1]], np.float32)
 
     os.makedirs(os.path.join(out_root, "frames"), exist_ok=True)
+    extra = (
+        {"label_2d": np.stack(labels_2d).astype(np.int16)}
+        if len(labels_2d) == len(depths)
+        else {}
+    )
     np.savez_compressed(
         os.path.join(out_root, "frames", f"{scene_id}.npz"),
         depth=np.stack(depths).astype(np.uint16),
@@ -125,6 +181,7 @@ def preprocess_scene(
         poses=np.stack(poses),
         intrinsics=intr,
         depth_scale=np.float32(1000.0),
+        **extra,
     )
 
 

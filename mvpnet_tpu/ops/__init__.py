@@ -52,8 +52,9 @@ def knn(queries, refs, k: int, ref_mask=None, impl: str | None = None):
         from mvpnet_tpu.ops.pallas import knn as pallas_knn
         from mvpnet_tpu.ops.pallas import knn_bucketed as pallas_knn_gated
 
-        # huge ref clouds (whole-scene / many-view fusion): Morton-sorted
-        # bound-gated kernel skips ~80-95% of tile work (5.6x at 1.2M refs)
+        # large ref clouds (fusion pixel sets, whole-scene): Morton-sorted,
+        # program-level bound-gated kernel skips most tile work at one
+        # scalar branch per tile (see ops/pallas/knn_bucketed.py)
         if pallas_knn_gated.supported(queries, refs, k):
             return pallas_knn_gated.knn(queries, refs, k, ref_mask=ref_mask)
         if pallas_knn.supported(queries, refs, k):

@@ -13,14 +13,18 @@ prove useless):
      (a per-tile permutation rides scalar prefetch and drives the ref
      BlockSpec index_map). Nearest tiles come first, so the running k-th
      best distance tightens immediately.
-  3. Inside the kernel the query tile is split into 8-row SUBGROUPS. For
-     each subgroup g and ref tile t the kernel computes the exact AABB
-     lower bound lb(g, t) (a handful of VPU ops) and runs the 9-op exact
-     distance + top-k extraction ONLY when lb(g, t) < the subgroup's worst
-     running k-th distance. After the first (nearest) tiles, almost every
-     subgroup proves every remaining tile irrelevant — the steady state is
-     one tiny bound check per (subgroup, tile).
-  4. Results are mapped back through the two sort permutations.
+  3. PROGRAM-LEVEL GATE: the precomputed lb(qtile, rtile) values also ride
+     scalar prefetch (in visit order); each program compares its tile's lb
+     against the query tile's worst running k-th distance with ONE scalar
+     branch and skips the whole tile's work when it cannot improve any row.
+     Because visit order is ascending-lb and the worst bound only shrinks,
+     after the first miss every remaining tile is skipped at branch cost.
+  4. For very large ref clouds (N >= _BIG_N, TN=8192 tiles) the surviving
+     tiles additionally split the query tile into 8-row SUBGROUPS, each
+     gated on its own exact in-kernel AABB bound — finer skips, amortized
+     by the big tile (32 branches/program are a net loss at TN=2048;
+     docs/PERF_NOTES.md).
+  5. Results are mapped back through the two sort permutations.
 
 Why not other designs (all measured on v5e, B4 8192x96k surface clouds —
 see git history / PERF_NOTES):
@@ -62,6 +66,9 @@ _MAX_K = 8
 _PAD_COORD = 3e9
 
 
+_MIN_N = 1 << 15  # below this the sorting prep is a wash vs the brute kernel
+
+
 def supported(queries, refs, k: int) -> bool:
     return (
         queries.ndim == 3
@@ -70,9 +77,7 @@ def supported(queries, refs, k: int) -> bool:
         and refs.shape[-1] == 3
         and 1 <= k <= _MAX_K
         and refs.shape[1] >= k
-        # below this the gating + sorting prep is a wash vs the brute kernel
-        # (measured on v5e: equal at 96k refs, 5.6x faster at 1.23M refs)
-        and refs.shape[1] >= _BIG_N
+        and refs.shape[1] >= _MIN_N
         and queries.shape[1] >= _TILE_M
     )
 
@@ -113,7 +118,9 @@ def _box_sqdist(alo, ahi, blo, bhi):
     return jnp.sum(gap * gap, axis=-1)
 
 
-def _gated_kernel(order_ref, q_ref, r_ref, d_out, i_out, best_d, best_i, *, k, tile_n):
+def _gated_kernel(
+    order_ref, lb_ref, q_ref, r_ref, d_out, i_out, best_d, best_i, *, k, tile_n, sub_gate
+):
     t = pl.program_id(2)
     n_tiles = pl.num_programs(2)
     b = pl.program_id(0)
@@ -124,43 +131,78 @@ def _gated_kernel(order_ref, q_ref, r_ref, d_out, i_out, best_d, best_i, *, k, t
         best_d[:] = jnp.full(best_d.shape, jnp.inf, jnp.float32)
         best_i[:] = jnp.zeros(best_i.shape, jnp.int32)
 
-    q = q_ref[0]  # (TM, 3)
-    r = r_ref[0]  # (3, TN)
-    tile_id = order_ref[b, im, t]
-    tm = q.shape[0]
-    n_sub = tm // _SUB
+    # PROGRAM-LEVEL GATE (one scalar branch): skip the whole tile when its
+    # precomputed AABB lower bound cannot beat the query tile's worst running
+    # k-th distance. Visit order is ascending-lb and `worst` only shrinks, so
+    # in steady state every remaining tile is skipped at branch cost — this is
+    # what makes gating pay at 96k refs, where 32 subgroup branches/program
+    # ate the entire compute skip (docs/PERF_NOTES.md).
+    worst_all = jnp.max(best_d[:, k - 1])  # inf right after init
+    tile_lb = lb_ref[b, im, t]
 
-    # ref-tile AABB (two passes over (3, TN)) and per-subgroup AABBs
-    rlo = jnp.min(r, axis=1)  # (3,)
-    rhi = jnp.max(r, axis=1)  # (3,)
-    qg = q.reshape(n_sub, _SUB, 3)
-    glo = jnp.min(qg, axis=1)  # (n_sub, 3)
-    ghi = jnp.max(qg, axis=1)  # (n_sub, 3)
-    gap = jnp.maximum(0.0, jnp.maximum(glo - rhi[None, :], rlo[None, :] - ghi))
-    lb = jnp.sum(gap * gap, axis=1)  # (n_sub,)
-    # per-subgroup worst running k-th distance
-    worst = jnp.max(best_d[:, k - 1].reshape(n_sub, _SUB), axis=1)  # (n_sub,)
+    @pl.when((t == 0) | (tile_lb < worst_all))
+    def _tile_body():
+        q = q_ref[0]  # (TM, 3)
+        r = r_ref[0]  # (3, TN)
+        tile_id = order_ref[b, im, t]
+        tm = q.shape[0]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (_SUB, r.shape[1]), 1)
-    for g in range(n_sub):
-        @pl.when(lb[g] < worst[g])
-        def _subgroup(g=g):
-            qs = q[g * _SUB : (g + 1) * _SUB]  # (SUB, 3)
-            dx = qs[:, 0:1] - r[0:1, :]
-            dy = qs[:, 1:2] - r[1:2, :]
-            dz = qs[:, 2:3] - r[2:3, :]
-            d2 = dx * dx + dy * dy + dz * dz  # (SUB, TN)
-            bd = best_d[g * _SUB : (g + 1) * _SUB, :]
-            bi = best_i[g * _SUB : (g + 1) * _SUB, :]
-            d2m = d2
-            for _ in range(k):
-                cand_d = jnp.min(d2m, axis=1)
-                cand_a = jnp.argmin(d2m, axis=1).astype(jnp.int32)
-                cand_i = cand_a + tile_id * tile_n
-                bd, bi = _merge_candidate(bd, bi, cand_d, cand_i)
-                d2m = jnp.where(col == cand_a[:, None], jnp.inf, d2m)
-            best_d[g * _SUB : (g + 1) * _SUB, :] = bd
-            best_i[g * _SUB : (g + 1) * _SUB, :] = bi
+        if not sub_gate:
+            # full-tile brute body (fusion scale): distances + k-pass extract
+            dx = q[:, 0:1] - r[0:1, :]
+            dy = q[:, 1:2] - r[1:2, :]
+            dz = q[:, 2:3] - r[2:3, :]
+            d2 = dx * dx + dy * dy + dz * dz  # (TM, TN)
+            col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            row_min = jnp.min(d2, axis=1)
+            improves = jnp.any(row_min < best_d[:, k - 1])
+
+            @pl.when(improves)
+            def _merge():
+                d2m = d2
+                bd, bi = best_d[:], best_i[:]
+                for _ in range(k):
+                    cand_d = jnp.min(d2m, axis=1)
+                    cand_a = jnp.argmin(d2m, axis=1).astype(jnp.int32)
+                    cand_i = cand_a + tile_id * tile_n
+                    bd, bi = _merge_candidate(bd, bi, cand_d, cand_i)
+                    d2m = jnp.where(col == cand_a[:, None], jnp.inf, d2m)
+                best_d[:] = bd
+                best_i[:] = bi
+
+            return
+
+        # big-N body: per-8-row subgroup gating (amortized by TN=8192 tiles)
+        n_sub = tm // _SUB
+        rlo = jnp.min(r, axis=1)  # (3,)
+        rhi = jnp.max(r, axis=1)  # (3,)
+        qg = q.reshape(n_sub, _SUB, 3)
+        glo = jnp.min(qg, axis=1)  # (n_sub, 3)
+        ghi = jnp.max(qg, axis=1)  # (n_sub, 3)
+        gap = jnp.maximum(0.0, jnp.maximum(glo - rhi[None, :], rlo[None, :] - ghi))
+        lb = jnp.sum(gap * gap, axis=1)  # (n_sub,)
+        worst = jnp.max(best_d[:, k - 1].reshape(n_sub, _SUB), axis=1)  # (n_sub,)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (_SUB, r.shape[1]), 1)
+        for g in range(n_sub):
+            @pl.when(lb[g] < worst[g])
+            def _subgroup(g=g):
+                qs = q[g * _SUB : (g + 1) * _SUB]  # (SUB, 3)
+                dx = qs[:, 0:1] - r[0:1, :]
+                dy = qs[:, 1:2] - r[1:2, :]
+                dz = qs[:, 2:3] - r[2:3, :]
+                d2 = dx * dx + dy * dy + dz * dz  # (SUB, TN)
+                bd = best_d[g * _SUB : (g + 1) * _SUB, :]
+                bi = best_i[g * _SUB : (g + 1) * _SUB, :]
+                d2m = d2
+                for _ in range(k):
+                    cand_d = jnp.min(d2m, axis=1)
+                    cand_a = jnp.argmin(d2m, axis=1).astype(jnp.int32)
+                    cand_i = cand_a + tile_id * tile_n
+                    bd, bi = _merge_candidate(bd, bi, cand_d, cand_i)
+                    d2m = jnp.where(col == cand_a[:, None], jnp.inf, d2m)
+                best_d[g * _SUB : (g + 1) * _SUB, :] = bd
+                best_i[g * _SUB : (g + 1) * _SUB, :] = bi
 
     @pl.when(t == n_tiles - 1)
     def _write():
@@ -200,47 +242,49 @@ def _prepare(queries, refs, tile_m, tile_n):
     rlo, rhi = _tile_bounds(r_sorted, tile_n)
     lb = _box_sqdist(qlo, qhi, rlo, rhi)  # (B, Mt, Nt)
     order = jnp.argsort(lb, axis=-1).astype(jnp.int32)  # nearest tiles first
-    return q_sorted, r_sorted, q_order, r_order, order, M_pad, N_pad
+    lb_sorted = jnp.take_along_axis(lb, order, axis=-1)  # lb in visit order
+    return q_sorted, r_sorted, q_order, r_order, order, lb_sorted, M_pad, N_pad
 
 
 def _knn_forward(queries, refs, k: int):
     B, M, _ = queries.shape
     N = refs.shape[1]
     tile_m = min(_TILE_M, max(_SUB, M))
-    tile_n = _TILE_N_BIG if N >= _BIG_N else _TILE_N
+    big = N >= _BIG_N
+    tile_n = _TILE_N_BIG if big else _TILE_N
 
-    q_sorted, r_sorted, q_order, r_order, order, M_pad, N_pad = _prepare(
+    q_sorted, r_sorted, q_order, r_order, order, lb_sorted, M_pad, N_pad = _prepare(
         queries, refs, tile_m, tile_n
     )
     nt = N_pad // tile_n
     rT = jnp.swapaxes(r_sorted, 1, 2)  # (B, 3, N_pad)
 
     grid = (B, M_pad // tile_m, nt)
-    kernel = functools.partial(_gated_kernel, k=k, tile_n=tile_n)
+    kernel = functools.partial(_gated_kernel, k=k, tile_n=tile_n, sub_gate=big)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
                 (1, tile_m, 3),
-                lambda b, im, t, order: (b, im, 0),
+                lambda b, im, t, order, lb: (b, im, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 3, tile_n),
-                lambda b, im, t, order: (b, 0, order[b, im, t]),
+                lambda b, im, t, order, lb: (b, 0, order[b, im, t]),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
                 (1, tile_m, k),
-                lambda b, im, t, order: (b, im, 0),
+                lambda b, im, t, order, lb: (b, im, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, tile_m, k),
-                lambda b, im, t, order: (b, im, 0),
+                lambda b, im, t, order, lb: (b, im, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -256,7 +300,7 @@ def _knn_forward(queries, refs, k: int):
             jax.ShapeDtypeStruct((B, M_pad, k), jnp.float32),
             jax.ShapeDtypeStruct((B, M_pad, k), jnp.int32),
         ],
-    )(order, q_sorted, rT)
+    )(order, lb_sorted, q_sorted, rT)
 
     d_s, i_s = d_s[:, :M], i_s[:, :M]
     # sorted-ref index -> original ref index (padding columns can only win in

@@ -15,6 +15,8 @@ from flax import nnx
 
 from mvpnet_tpu.config import Config, save_config
 from mvpnet_tpu.data.pipeline import PrefetchIterator, build_dataset
+from mvpnet_tpu.dist import bootstrap
+from mvpnet_tpu.dist.mesh import make_mesh, replicated
 from mvpnet_tpu.models import build_model
 from mvpnet_tpu.train.checkpoint import Checkpointer, freeze_filter, warm_start_2d
 from mvpnet_tpu.train.metrics import iou_from_confusion
@@ -48,12 +50,27 @@ def evaluate(model, eval_step, val_iter, num_batches: int, num_classes: int, set
 
 def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
     """Run training; returns (model, final val metrics)."""
-    logger = setup_logger(output_dir=cfg.output_dir)
-    save_config(cfg, f"{cfg.output_dir}/config.yaml")
-    logger.info("devices: %s", jax.devices())
+    bootstrap.initialize()  # multi-host control plane; single-host no-op
+    primary = bootstrap.is_primary()
+    logger = setup_logger(output_dir=cfg.output_dir if primary else None)
+    if primary:
+        save_config(cfg, f"{cfg.output_dir}/config.yaml")
+    logger.info(
+        "devices: %s (process %d/%d)",
+        jax.devices(),
+        jax.process_index(),
+        jax.process_count(),
+    )
 
     rngs = nnx.Rngs(cfg.train.seed)
     model, loss_fn, metric_fn = build_model(cfg, rngs=rngs)
+
+    # Data-parallel mesh (SURVEY.md §2.3 DP row): params replicated, batches
+    # sharded over the data axis by the prefetcher. Single device: plain jit.
+    mesh = make_mesh(cfg.mesh) if jax.device_count() > 1 else None
+    if mesh is not None:
+        logger.info("mesh: %s", dict(mesh.shape))
+        nnx.update(model, jax.device_put(nnx.state(model), replicated(mesh)))
 
     if cfg.model.pretrained_2d and hasattr(model, "net_2d"):
         loaded = warm_start_2d(model, cfg.model.pretrained_2d)
@@ -61,6 +78,8 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
 
     wrt = freeze_filter(cfg.model.freeze_2d)
     optimizer = nnx.Optimizer(model, build_optimizer(cfg.solver), wrt=wrt)
+    if mesh is not None:
+        nnx.update(optimizer, jax.device_put(nnx.state(optimizer), replicated(mesh)))
 
     def set_train():
         model.train()
@@ -79,20 +98,33 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
     train_step = make_train_step(cfg, loss_fn, metric_fn)
     eval_step = make_eval_step(cfg, loss_fn, metric_fn)
 
+    # each host loads its slice of the global batch; the prefetcher assembles
+    # the globally-sharded array (dist/bootstrap.py)
+    local_bs = bootstrap.global_batch_to_local(cfg.train.batch_size)
+    put_fn = (lambda b: bootstrap.make_global_batch(mesh, b)) if mesh is not None else None
     train_ds = build_dataset(
-        cfg.data, batch_size=cfg.train.batch_size, training=True, seed=cfg.train.seed
+        cfg.data,
+        batch_size=local_bs,
+        training=True,
+        seed=cfg.train.seed + jax.process_index(),
     )
     val_ds = build_dataset(
-        cfg.data, batch_size=cfg.train.batch_size, training=False, seed=cfg.train.seed + 1
+        cfg.data,
+        batch_size=local_bs,
+        training=False,
+        seed=cfg.train.seed + 1000 + jax.process_index(),
     )
     train_iter = PrefetchIterator(
-        train_ds, prefetch=cfg.data.prefetch, num_threads=cfg.data.num_workers
+        train_ds,
+        prefetch=cfg.data.prefetch,
+        num_threads=cfg.data.num_workers,
+        put_fn=put_fn,
     )
-    val_iter = PrefetchIterator(val_ds, prefetch=1, num_threads=2)
+    val_iter = PrefetchIterator(val_ds, prefetch=1, num_threads=2, put_fn=put_fn)
 
     key = jax.random.key(cfg.train.seed)
     meters = MetricLogger()
-    writer = MetricWriter(cfg.output_dir)
+    writer = MetricWriter(cfg.output_dir) if primary else None
     best_miou = -1.0
     total = max_steps if max_steps is not None else cfg.train.max_steps
     set_train()
@@ -121,15 +153,16 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
             logger.info(
                 "step %d/%d  %s  chunks/s: %.2f", step + 1, total, meters, chunks_s
             )
-            writer.write(
-                step + 1,
-                {
-                    "loss": meters.meters["loss"].avg,
-                    "accuracy": meters.meters["accuracy"].avg,
-                    "chunks_per_sec": chunks_s,
-                },
-                prefix="train/",
-            )
+            if writer:
+                writer.write(
+                    step + 1,
+                    {
+                        "loss": meters.meters["loss"].avg,
+                        "accuracy": meters.meters["accuracy"].avg,
+                        "chunks_per_sec": chunks_s,
+                    },
+                    prefix="train/",
+                )
 
         if (step + 1) % cfg.train.val_every == 0 or step + 1 == total:
             val_metrics = evaluate(
@@ -147,11 +180,12 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
                 val_metrics["miou"],
             )
             best_miou = max(best_miou, val_metrics["miou"])
-            writer.write(
-                step + 1,
-                {"loss": val_metrics["loss"], "miou": val_metrics["miou"]},
-                prefix="val/",
-            )
+            if writer:
+                writer.write(
+                    step + 1,
+                    {"loss": val_metrics["loss"], "miou": val_metrics["miou"]},
+                    prefix="val/",
+                )
 
         if (step + 1) % cfg.train.ckpt_every == 0 or step + 1 == total:
             ckpt.save(step, model, optimizer, metrics={"miou": val_metrics.get("miou", 0.0)})
@@ -169,5 +203,6 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
         best_miou,
     )
     ckpt.close()
-    writer.close()
+    if writer:
+        writer.close()
     return model, val_metrics

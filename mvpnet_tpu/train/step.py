@@ -28,13 +28,18 @@ def prepare_batch(cfg: Config, batch: dict, *, training: bool, rng_key=None) -> 
     augmentation to points + image_xyz.
     """
     depth = batch["depth"]
+    images = batch["images"]
+    # compact wire format (data/pipeline.py): dequantize on device
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    if depth.dtype == jnp.uint16:
+        depth = depth.astype(jnp.float32) / 1000.0
     B = depth.shape[0]
     intr = batch["intrinsics"][:, None]  # (B,1,3,3) broadcast over V
     image_xyz, valid = unproject_views(
         depth, jnp.broadcast_to(intr, depth.shape[:2] + (3, 3)), batch["poses"]
     )
     points = batch["points"]
-    images = batch["images"]
     if training and cfg.data.augment and rng_key is not None:
         keys = jax.random.split(rng_key, B)
         points, image_xyz, images = jax.vmap(

@@ -94,3 +94,43 @@ def test_dp_train_step_matches_single_device(rng, devices):
     loss_dp = run(shard_batch(mesh, batch_np))
     assert np.isfinite(loss_dp)
     np.testing.assert_allclose(loss_dp, loss_single, rtol=2e-4)
+
+
+def test_train_loop_on_mesh(tmp_path, devices):
+    """Full train() wiring on the 8-device mesh: bootstrap no-op, replicated
+    params, data-sharded batches from the prefetcher, primary-gated outputs."""
+    from tests.test_models import tiny_config
+    from mvpnet_tpu.train.loop import train
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data,
+            num_points=64,
+            num_views_train=2,
+            num_views_eval=2,
+            image_height=16,
+            image_width=16,
+            num_workers=2,
+            max_candidate_frames=4,
+        ),
+        train=dataclasses.replace(
+            cfg.train,
+            batch_size=8,
+            max_steps=2,
+            log_every=1,
+            val_every=2,
+            val_steps=1,
+            ckpt_every=2,
+            donate=False,
+        ),
+        mesh=MeshConfig(data=8, space=1),
+        output_dir=str(tmp_path),
+    )
+    model, val_metrics = train(cfg, resume=False)
+    assert np.isfinite(val_metrics["loss"])
+    # params must land replicated over the mesh
+    leaf = jax.tree_util.tree_leaves(nnx.state(model, nnx.Param))[0]
+    assert len(leaf.sharding.device_set) == 8
+    assert (tmp_path / "config.yaml").exists()

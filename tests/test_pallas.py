@@ -248,3 +248,17 @@ def test_pallas_ball_query_masked(rng):
         )
     np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(want_cnt))
     np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
+
+
+def test_gated_knn_big_mode_matches_reference(rng, small_gated_tiles, monkeypatch):
+    """Force the big-N body (per-subgroup gating nested in the tile gate)."""
+    monkeypatch.setattr(pgated, "_BIG_N", 256)
+    q = jnp.asarray(_rand_points(rng, 1, 96))
+    r = jnp.asarray(_rand_points(rng, 1, 700))
+    d_want, i_want = ref.knn(q, r, 3)
+    with pltpu.force_tpu_interpret_mode():
+        d_got, i_got = pgated.knn(q, r, 3)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(i_got), -1), np.sort(np.asarray(i_want), -1)
+    )
+    np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_want), atol=1e-5)

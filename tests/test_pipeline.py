@@ -1,5 +1,6 @@
 """Pipeline-level tests (SURVEY.md §4 implication 3): synthetic mini-scene
 through dataset -> device prep -> model -> loss on the CPU backend."""
+import os
 import dataclasses
 
 import numpy as np
@@ -188,3 +189,92 @@ def test_native_greedy_matches_python(rng):
         chosen.append(best)
         remaining &= ~cov[best]
     np.testing.assert_array_equal(native, chosen)
+
+
+def _write_fake_scan(raw: str, scene_id: str, rng):
+    """Synthesize a raw ScanNet scan layout: binary PLY + frames on disk."""
+    import struct
+    from PIL import Image
+
+    scan = os.path.join(raw, "scans", scene_id)
+    for d in ("color", "depth", "pose", "intrinsic", "label"):
+        os.makedirs(os.path.join(scan, d), exist_ok=True)
+
+    n = 500
+    xyz = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    rgb = rng.integers(0, 255, (n, 3)).astype(np.uint8)
+    nyu = rng.choice([1, 2, 5, 39, 0], n).astype(np.uint16)  # nyu40 ids
+
+    header = (
+        b"ply\nformat binary_little_endian 1.0\n"
+        + f"element vertex {n}\n".encode()
+        + b"property float x\nproperty float y\nproperty float z\n"
+        + b"property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        + b"property ushort label\nend_header\n"
+    )
+    with open(os.path.join(scan, f"{scene_id}_vh_clean_2.labels.ply"), "wb") as fh:
+        fh.write(header)
+        for i in range(n):
+            fh.write(struct.pack("<fffBBBH", *xyz[i], *rgb[i], nyu[i]))
+
+    H, W = 48, 64
+    for fid in range(3):
+        Image.fromarray(
+            rng.integers(0, 255, (H * 2, W * 2, 3)).astype(np.uint8)
+        ).save(os.path.join(scan, "color", f"{fid}.jpg"))
+        Image.fromarray(
+            (rng.uniform(500, 3000, (H * 2, W * 2))).astype(np.uint16)
+        ).save(os.path.join(scan, "depth", f"{fid}.png"))
+        Image.fromarray(
+            rng.choice([0, 1, 2, 5], (H * 2, W * 2)).astype(np.uint8)
+        ).save(os.path.join(scan, "label", f"{fid}.png"))
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = rng.uniform(-1, 1, 3)
+        np.savetxt(os.path.join(scan, "pose", f"{fid}.txt"), pose)
+    intr = np.eye(4, dtype=np.float32)
+    intr[0, 0] = intr[1, 1] = 60.0
+    intr[0, 2], intr[1, 2] = W, H
+    np.savetxt(os.path.join(scan, "intrinsic", "intrinsic_depth.txt"), intr)
+    return xyz, nyu
+
+
+def test_preprocess_roundtrip(tmp_path, rng):
+    """Raw scan layout -> preprocess npz -> load_scenes -> chunk batch."""
+    from mvpnet_tpu.data.meta import nyu40_to_train
+    from mvpnet_tpu.data.preprocess import preprocess_scene
+    from mvpnet_tpu.data.scannet import load_scenes
+
+    raw, out = str(tmp_path / "raw"), str(tmp_path / "out")
+    xyz, nyu = _write_fake_scan(raw, "scene0000_00", rng)
+    table = nyu40_to_train()
+    preprocess_scene(
+        raw, out, "scene0000_00", table, None, height=24, width=32
+    )
+    os.makedirs(os.path.join(out, "meta"), exist_ok=True)
+    with open(os.path.join(out, "meta", "scannetv2_train.txt"), "w") as fh:
+        fh.write("scene0000_00\n")
+
+    scenes = load_scenes(out, "train")
+    assert len(scenes) == 1
+    s = scenes[0]
+    np.testing.assert_allclose(s.points, xyz, atol=1e-6)
+    # labels mapped nyu40 -> train ids (0 and unmapped ids -> ignore)
+    np.testing.assert_array_equal(s.labels, table[nyu])
+    assert s.depth.shape == (3, 24, 32)
+    assert s.rgb.shape == (3, 24, 32, 3)
+    assert s.rgb.max() <= 1.0 and s.depth.max() < 4.0  # meters, [0,1] rgb
+    assert s.label_2d.shape == (3, 24, 32)
+    assert set(np.unique(s.label_2d)) <= {-100, 0, 1, 4}  # nyu 1,2,5 -> 0,1,4
+
+    cfg = DataConfig(
+        num_points=128,
+        num_views_train=2,
+        image_height=24,
+        image_width=32,
+        max_candidate_frames=3,
+    )
+    ds = ChunkDataset([s], cfg, batch_size=2, training=True, seed=0)
+    batch = next(iter(ds))
+    assert batch["points"].shape == (2, 128, 3)
+    assert batch["images"].shape == (2, 2, 24, 32, 3)
+    assert np.isfinite(batch["depth"]).all()
