@@ -102,6 +102,9 @@ class ModelConfig:
     # train_3d loads the 2D seg checkpoint; SURVEY.md §3.1).
     pretrained_2d: str = ""
     freeze_2d: bool = False
+    # Weight of the auxiliary per-view 2D seg loss in mvpnet_3d training
+    # (reference exposes loss weights via cfg; SURVEY.md §2.2 registry row).
+    aux_2d_loss_weight: float = 0.1
 
 
 @dataclass(frozen=True)

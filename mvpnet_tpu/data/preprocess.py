@@ -150,14 +150,23 @@ def preprocess_scene(
         rgbs.append(_resize_nearest(col, height, width))
         depths.append(_resize_nearest(dep, height, width))
         poses.append(pose)
-        # optional 2D label maps (nyu40 ids), nearest-resized like the
-        # reference's ScanNet2D label path (SURVEY.md §2.2 "2D dataset")
+        # optional 2D label maps, nearest-resized like the reference's
+        # ScanNet2D label path (SURVEY.md §2.2 "2D dataset"). `label/`
+        # exports carry nyu40 ids; `label-filt/` exports carry raw ScanNet
+        # ids — detect by range and remap instead of silently clipping.
         lab_path = os.path.join(label_dir, f"{fid}.png")
         if os.path.isfile(lab_path):
-            nyu_img = _resize_nearest(
+            lab_img = _resize_nearest(
                 np.asarray(Image.open(lab_path)).astype(np.int64), height, width
             )
-            labels_2d.append(label_table[np.clip(nyu_img, 0, 40)])
+            if lab_img.max() > 40:  # raw ScanNet ids, not nyu40
+                if raw_to_nyu is None:
+                    raise ValueError(
+                        f"{lab_path}: label ids exceed 40 (raw ScanNet ids?) "
+                        "but no --tsv label mapping was provided"
+                    )
+                lab_img = np.vectorize(lambda r: raw_to_nyu.get(int(r), 0))(lab_img)
+            labels_2d.append(label_table[lab_img])
     intr = np.loadtxt(
         os.path.join(scan, "intrinsic", "intrinsic_depth.txt")
     ).astype(np.float32)[:3, :3]

@@ -35,6 +35,21 @@ logger = logging.getLogger(__name__)
 _initialized = False
 
 
+def _distributed_client_active() -> bool:
+    """True iff jax.distributed.initialize has already run in this process.
+
+    Deliberately does NOT call jax.process_count(): that initializes the XLA
+    backend as a side effect, after which jax.distributed.initialize raises
+    ("backends already initialized") and multi-host init can never activate.
+    """
+    try:
+        from jax._src import distributed  # jax 0.9 internal, but stable enough
+
+        return distributed.global_state.client is not None
+    except Exception:  # pragma: no cover - internal layout changed
+        return _initialized
+
+
 def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -45,9 +60,13 @@ def initialize(
     Returns True iff a multi-process runtime is active after the call.
     Priority: explicit args > env vars > TPU auto-detect > single-process
     no-op. Safe to call unconditionally from every entry point.
+
+    Must run BEFORE anything touches the XLA backend (jax.devices(),
+    jax.process_count(), any jit): backend queries are only made *after*
+    the initialize attempt here.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    if _initialized or _distributed_client_active():
         _initialized = True
         return jax.process_count() > 1
 
@@ -70,8 +89,17 @@ def initialize(
             jax.distributed.initialize()
             _initialized = True
     except RuntimeError as e:
-        # backend already initialized (single-process dev runs, tests) —
-        # distributed init is too late but also unnecessary there
+        if coordinator_address:
+            # A coordinator was explicitly configured: silently degrading to
+            # process 0/1 would make every host run the full global batch and
+            # write the same checkpoint dir. Fail loudly instead.
+            raise RuntimeError(
+                "jax.distributed.initialize failed although COORDINATOR_ADDRESS "
+                "was configured — the XLA backend was probably initialized "
+                "before bootstrap.initialize() (call it first)."
+            ) from e
+        # TPU auto-detect path on an already-initialized backend: tolerable
+        # only for single-process dev runs/tests.
         logger.warning("jax.distributed.initialize skipped: %s", e)
     multi = jax.process_count() > 1
     if multi:

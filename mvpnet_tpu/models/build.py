@@ -46,12 +46,13 @@ def build_model(cfg: Config, *, rngs: nnx.Rngs):
 
     if name == "mvpnet_3d":
         model = MVPNet3D(cfg.model, rngs=rngs)
+        aux_w = cfg.model.aux_2d_loss_weight
 
         def loss_fn(out, batch):
             logits_3d, logits_2d = out
             loss = M.cross_entropy(logits_3d, batch["seg_label"], ignore)
-            if "seg_label_2d" in batch:
-                loss = loss + 0.1 * M.cross_entropy(
+            if aux_w > 0 and "seg_label_2d" in batch:
+                loss = loss + aux_w * M.cross_entropy(
                     logits_2d, batch["seg_label_2d"], ignore
                 )
             return loss

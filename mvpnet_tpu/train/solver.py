@@ -40,8 +40,19 @@ def build_schedule(cfg: SolverConfig):
 
     sched = clipped if floor > 0 else base
     if cfg.warmup_steps > 0:
-        warm = optax.linear_schedule(0.0, cfg.base_lr, cfg.warmup_steps)
-        sched = optax.join_schedules([warm, sched], [cfg.warmup_steps])
+        # Multiplicative warmup over the GLOBAL-step schedule: the decay
+        # schedule keeps counting from step 0 (matching a global-step StepLR
+        # with warmup), rather than join_schedules which would restart the
+        # decay clock at the warmup boundary and delay every decay.
+        decay, warmup_steps = sched, cfg.warmup_steps
+
+        def warmed(step):
+            import jax.numpy as jnp
+
+            frac = jnp.minimum(1.0, (step + 1) / warmup_steps)
+            return decay(step) * frac
+
+        sched = warmed
     return sched
 
 

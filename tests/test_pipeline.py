@@ -102,6 +102,54 @@ def test_dataset_iteration_and_prefetch(scene):
     it.close()
 
 
+def test_prefetch_propagates_worker_errors():
+    class Boom:
+        def worker_iter(self, worker_id):
+            def gen():
+                raise ValueError("synthetic failure")
+                yield  # pragma: no cover
+
+            return gen()
+
+    it = PrefetchIterator(Boom(), prefetch=1, num_threads=2)
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        next(it)
+    it.close()
+
+
+def test_prefetch_workers_run_concurrently():
+    """N workers with per-worker streams must overlap batch assembly (the
+    round-1 pipeline serialized every worker on one locked iterator)."""
+    import time
+
+    class Slow:
+        def worker_iter(self, worker_id):
+            def gen():
+                while True:
+                    time.sleep(0.05)
+                    yield {"x": np.zeros(1, np.float32)}
+
+            return gen()
+
+    it = PrefetchIterator(Slow(), prefetch=8, num_threads=4)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        next(it)
+    dt = time.perf_counter() - t0
+    it.close()
+    # serial: 8 * 0.05 = 0.4s; 4-way parallel: ~0.1s. Allow generous slack.
+    assert dt < 0.3, f"prefetch appears serialized ({dt:.3f}s for 8 batches)"
+
+
+def test_prefetch_close_joins_threads(scene):
+    cfg = small_data_cfg()
+    ds = ChunkDataset([scene], cfg, batch_size=1, training=True, seed=0)
+    it = PrefetchIterator(ds, prefetch=1, num_threads=2)
+    next(it)
+    it.close()
+    assert all(not t.is_alive() for t in it._threads)
+
+
 def _full_cfg():
     cfg = tiny_config()  # 5-class tiny model
     return dataclasses.replace(cfg, data=small_data_cfg())

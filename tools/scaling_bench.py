@@ -90,6 +90,23 @@ def main():
     sizes = [1]
     while sizes[-1] * 2 <= n:
         sizes.append(sizes[-1] * 2)
+    if jax.process_count() > 1:
+        # Multi-controller JAX: a sub-mesh that excludes some processes'
+        # devices makes jit/shard_batch fail on those processes (every
+        # process must participate in every collective program). Only the
+        # full-slice point is measurable per launch; sub-slice points come
+        # from separate smaller launches.
+        sizes = [s for s in sizes if s == n]
+        print(
+            json.dumps(
+                {
+                    "note": "multi-process run: only the full-slice point is "
+                    "measured; get smaller points from smaller slices",
+                    "processes": jax.process_count(),
+                }
+            ),
+            flush=True,
+        )
 
     results = {}
     for s in sizes:
