@@ -25,6 +25,12 @@ def main(argv=None):
     ap.add_argument("--cfg", default=None)
     ap.add_argument("--export", default=None, help="benchmark export dir")
     ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument(
+        "--sharded",
+        action="store_true",
+        help="space-sharded whole-scene inference over the cfg.mesh space "
+        "axis (scene-level view set + ring fusion; eval/sharded_scene.py)",
+    )
     ap.add_argument("opts", nargs="*")
     args = ap.parse_args(argv)
 
@@ -40,10 +46,22 @@ def main(argv=None):
         )
     logger.info("restored checkpoint step=%s", step)
 
+    mesh = None
+    if args.sharded or cfg.eval.sharded:
+        from mvpnet_tpu.dist.mesh import make_mesh
+
+        mesh = make_mesh(cfg.mesh)
+        logger.info("sharded whole-scene eval over mesh %s", dict(mesh.shape))
+
     # evaluate on the validation scenes
     ds = build_dataset(cfg.data, batch_size=1, training=False, seed=0)
     results = evaluate_scenes(
-        model, cfg, ds.scenes, batch_size=args.batch_size, export_dir=args.export
+        model,
+        cfg,
+        ds.scenes,
+        batch_size=args.batch_size,
+        export_dir=args.export,
+        mesh=mesh,
     )
     logger.info("results: %s", json.dumps(results, indent=2))
     print(json.dumps(results))

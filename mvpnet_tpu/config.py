@@ -44,6 +44,10 @@ class UNetConfig:
     feature_channels: int = 64
     norm: str = "batch"  # "batch" | "group"
     dtype: str = "bfloat16"
+    # optional torchvision resnet34 checkpoint (.pth state_dict or .npz) to
+    # import into the encoder (models/unet.load_torch_resnet34; SURVEY.md §7
+    # "2D pretraining without ImageNet weights" weight-import hook)
+    torch_weights: str = ""
 
 
 @dataclass(frozen=True)
@@ -111,6 +115,10 @@ class ModelConfig:
 class DataConfig:
     name: str = "synthetic"  # "scannet" | "synthetic"
     root: str = "data/scannet"
+    # "chunks": 2D-3D chunk pipeline (train_3d); "frames": frame-level 2D
+    # corpus with random frame sampling (train_2d; reference ScanNet2D,
+    # SURVEY.md §2.2 "2D dataset" / §3.6)
+    sampling: str = "chunks"
     num_points: int = 8192
     chunk_size: float = 1.5  # meters (x, y)
     chunk_stride: float = 0.5  # sliding-window stride at eval
@@ -131,6 +139,9 @@ class DataConfig:
     # ship images as uint8 / depth as uint16 mm across the host->device
     # boundary and convert inside the jitted step (4x less H2D traffic)
     compact_transfer: bool = True
+    # scenes kept resident by the lazy scene store (scannet datasets stream
+    # per-scene npz files on demand; data/scannet.SceneStore)
+    cache_scenes: int = 32
     # host-side prefetch depth (double-buffered device_put)
     prefetch: int = 2
     num_workers: int = 8
@@ -177,6 +188,26 @@ class TrainConfig:
 
 
 @dataclass(frozen=True)
+class EvalConfig:
+    """Whole-scene inference (reference test_3d.py equivalent; SURVEY.md §3.2).
+
+    ``sharded`` switches to the space-sharded mode (the build's SP analog,
+    SURVEY.md §2.3 SP row / §5 long-context row): one view set is selected for
+    the whole scene and sharded over the mesh ``space`` axis together with the
+    chunk windows; fusion kNN runs as a ring ``ppermute`` exchange so every
+    chunk point sees every shard's pixel cloud (eval/sharded_scene.py).
+    """
+
+    batch_size: int = 4  # chunk minibatch in the single-device mode
+    sharded: bool = False
+    # views selected per scene in sharded mode (padded up to a multiple of
+    # the space-axis size; each shard runs the 2D net over its local views)
+    scene_views: int = 12
+    # chunk windows processed per shard per fusion pass
+    chunks_per_shard: int = 4
+
+
+@dataclass(frozen=True)
 class MeshConfig:
     """Device mesh layout. data = batch/chunk sharding, space = spatial
     sharding of whole-scene point sets + their view frustums (the build's
@@ -192,6 +223,7 @@ class Config:
     data: DataConfig = field(default_factory=DataConfig)
     solver: SolverConfig = field(default_factory=SolverConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     output_dir: str = "outputs/default"
     # ops implementation: "auto" picks pallas on TPU, jnp reference elsewhere

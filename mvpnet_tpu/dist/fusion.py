@@ -41,9 +41,14 @@ def _merge_topk(best, cand, k: int):
     return new_d, new_xyz, new_feat
 
 
-def _ring_knn_body(points, pixel_xyz, pixel_feat, *, k: int, axis: str):
-    """Runs inside shard_map: per-shard points (N_s, 3), pixel block
-    (Pb, 3)/(Pb, C). Returns (d (N_s,k), xyz (N_s,k,3), feat (N_s,k,C))."""
+def ring_knn_local(points, pixel_xyz, pixel_feat, *, k: int, axis: str):
+    """Ring kNN body — call from inside shard_map over ``axis``.
+
+    Per-shard points (N_s, 3), local pixel block (Pb, 3)/(Pb, C); after S-1
+    ``ppermute`` hops every shard has folded every pixel block into its
+    running top-k. Returns (d (N_s,k), xyz (N_s,k,3), feat (N_s,k,C)).
+    Consumed by sharded_fusion_knn below and by the space-sharded whole-scene
+    inference path (eval/sharded_scene.py)."""
     size = jax.lax.axis_size(axis)
 
     def local_knn(px, pf):
@@ -91,7 +96,7 @@ def sharded_fusion_knn(
       neighbors across ALL shards, sharded over space like ``points``.
     """
     fn = jax.shard_map(
-        functools.partial(_ring_knn_body, k=k, axis=SPACE_AXIS),
+        functools.partial(ring_knn_local, k=k, axis=SPACE_AXIS),
         mesh=mesh,
         in_specs=(P(SPACE_AXIS), P(SPACE_AXIS), P(SPACE_AXIS)),
         out_specs=(P(SPACE_AXIS), P(SPACE_AXIS), P(SPACE_AXIS)),

@@ -63,6 +63,22 @@ class Evaluator:
         }
 
 
+def nn_fill_uncovered(points: np.ndarray, logits_acc: np.ndarray, counts: np.ndarray):
+    """Fill zero-count points from their nearest scored neighbor, in place.
+
+    Chunk sampling touches only num_points per window, so some scene points
+    may receive no logits; filling from the nearest scored point is standard
+    ScanNet whole-scene eval practice for sampled predictions.
+    """
+    uncovered = counts == 0
+    if uncovered.any() and (~uncovered).any():
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(points[~uncovered])
+        _, nn = tree.query(points[uncovered], k=1)
+        logits_acc[uncovered] = logits_acc[~uncovered][nn]
+
+
 def predict_scene(
     model,
     cfg: Config,
@@ -123,36 +139,50 @@ def predict_scene(
             flush()
     flush()
 
-    # Chunk sampling touches only num_points per window, so some scene points
-    # may receive no logits; fill them from their nearest scored neighbor
-    # (standard ScanNet whole-scene eval practice for sampled predictions).
-    uncovered = counts == 0
-    if uncovered.any() and (~uncovered).any():
-        from scipy.spatial import cKDTree
-
-        tree = cKDTree(scene.points[~uncovered])
-        _, nn = tree.query(scene.points[uncovered], k=1)
-        logits_acc[uncovered] = logits_acc[~uncovered][nn]
+    nn_fill_uncovered(scene.points, logits_acc, counts)
     return logits_acc
 
 
 def evaluate_scenes(
-    model, cfg: Config, scenes, *, batch_size: int = 4, export_dir: str | None = None
+    model,
+    cfg: Config,
+    scenes,
+    *,
+    batch_size: int = 4,
+    export_dir: str | None = None,
+    mesh=None,
 ) -> dict:
-    """Reference test() loop: per-scene prediction + benchmark export."""
+    """Reference test() loop: per-scene prediction + benchmark export.
+
+    With ``mesh`` (and cfg.eval.sharded semantics), scenes are evaluated by
+    the space-sharded whole-scene path (eval/sharded_scene.py) instead of the
+    single-device chunk loop; compiled functions are reused across scenes.
+    """
     model.eval()
     evaluator = Evaluator(cfg.data.num_classes, cfg.data.ignore_label)
 
-    @jax.jit
-    def forward_fn(batch):
-        model_batch = prepare_batch(cfg, batch, training=False)
-        logits_3d, _ = model(model_batch)
-        return logits_3d
+    if mesh is not None:
+        from mvpnet_tpu.eval.sharded_scene import (
+            build_sharded_scene_fns,
+            predict_scene_sharded,
+        )
+
+        sharded_fns = build_sharded_scene_fns(model, cfg, mesh)
+    else:
+
+        @jax.jit
+        def forward_fn(batch):
+            model_batch = prepare_batch(cfg, batch, training=False)
+            logits_3d, _ = model(model_batch)
+            return logits_3d
 
     for scene in scenes:
-        logits = predict_scene(
-            model, cfg, scene, batch_size=batch_size, forward_fn=forward_fn
-        )
+        if mesh is not None:
+            logits = predict_scene_sharded(model, cfg, scene, mesh, fns=sharded_fns)
+        else:
+            logits = predict_scene(
+                model, cfg, scene, batch_size=batch_size, forward_fn=forward_fn
+            )
         pred = logits.argmax(axis=1)
         evaluator.update(pred, scene.labels)
         if export_dir:

@@ -81,13 +81,19 @@ def farthest_point_sample(points, npoint: int, valid_mask=None):
     """
     B, N, _ = points.shape
     pts = points.astype(jnp.float32)
+    # Derive the scan-carry inits from ``pts`` (instead of fresh constants) so
+    # they inherit its device-varying type under shard_map manual axes — the
+    # scan body makes the carry varying, and jax requires init/body type
+    # agreement. XLA constant-folds the *0 away; outside shard_map this is
+    # identical to jnp.full/zeros.
+    zeros = pts[..., 0] * 0.0  # (B, N)
     if valid_mask is None:
-        start_dist = jnp.full((B, N), _INF, jnp.float32)
-        neg_inf_mask = jnp.zeros((B, N), jnp.float32)
+        start_dist = zeros + _INF
+        neg_inf_mask = zeros
     else:
         # invalid points: distance track pinned to -inf so argmax skips them
-        neg_inf_mask = jnp.where(valid_mask, 0.0, -_INF).astype(jnp.float32)
-        start_dist = jnp.where(valid_mask, _INF, -_INF).astype(jnp.float32)
+        neg_inf_mask = zeros + jnp.where(valid_mask, 0.0, -_INF)
+        start_dist = zeros + jnp.where(valid_mask, _INF, -_INF)
 
     def body(carry, _):
         dist, last_idx = carry
@@ -97,7 +103,7 @@ def farthest_point_sample(points, npoint: int, valid_mask=None):
         nxt = jnp.argmax(dist, axis=-1).astype(jnp.int32)
         return (dist, nxt), nxt
 
-    first = jnp.zeros((B,), jnp.int32)
+    first = (zeros[:, 0]).astype(jnp.int32)  # index 0, varying like pts
     if npoint == 1:
         return first[:, None]
     (_, _), rest = jax.lax.scan(

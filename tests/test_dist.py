@@ -134,3 +134,62 @@ def test_train_loop_on_mesh(tmp_path, devices):
     leaf = jax.tree_util.tree_leaves(nnx.state(model, nnx.Param))[0]
     assert len(leaf.sharding.device_set) == 8
     assert (tmp_path / "config.yaml").exists()
+
+
+@pytest.mark.parametrize("space", [2, 8])
+def test_sharded_scene_matches_single_device_oracle(devices, space):
+    """The space-sharded whole-scene path (sharded 2D + ring fusion + local
+    PN2SSG) must produce the same accumulated scene logits as a straight
+    single-device implementation using the same scene-level view set."""
+    from mvpnet_tpu.config import EvalConfig
+    from mvpnet_tpu.core.camera import unproject_views
+    from mvpnet_tpu.data.synthetic import make_scene
+    from mvpnet_tpu.eval.sharded_scene import (
+        enumerate_scene_chunks,
+        predict_scene_sharded,
+        select_scene_views,
+    )
+    from mvpnet_tpu.eval.whole_scene import nn_fill_uncovered
+    from mvpnet_tpu.models import build_model
+    from tests.test_models import tiny_config
+    from tests.test_pipeline import small_data_cfg
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=small_data_cfg(num_points=128, chunk_size=2.0, chunk_stride=1.5),
+        eval=EvalConfig(scene_views=4, chunks_per_shard=1),
+    )
+    scene = make_scene(3, num_points=12000, num_frames=6, height=16, width=24, num_classes=5)
+    model, _, _ = build_model(cfg, rngs=nnx.Rngs(0))
+    model.eval()
+
+    mesh = make_mesh(MeshConfig(data=8 // space, space=space))
+    got = predict_scene_sharded(model, cfg, scene, mesh)
+
+    # single-device oracle: same view set + chunk windows, unsharded math
+    frames = select_scene_views(scene, cfg.eval.scene_views)
+    xyz, _ = unproject_views(
+        jnp.asarray(scene.depth[frames]),
+        jnp.asarray(scene.intrinsics),
+        jnp.asarray(scene.poses[frames]),
+    )
+    feat, _ = model.net_2d(jnp.asarray(scene.rgb[frames]))
+    pixel_xyz = xyz.reshape(1, -1, 3)
+    pixel_feat = feat.reshape(1, pixel_xyz.shape[1], -1)
+    k = cfg.model.aggregation.k
+
+    acc = np.zeros((len(scene.points), cfg.data.num_classes), np.float32)
+    counts = np.zeros(len(scene.points), np.int32)
+    for sel, pts in enumerate_scene_chunks(scene, cfg):
+        ptsj = jnp.asarray(pts)[None]
+        _, idx = ops.knn(ptsj, pixel_xyz, k)
+        gxyz = ops.group_points(pixel_xyz, idx)
+        gfeat = ops.group_points(pixel_feat, idx)
+        fused = model.aggregation(ptsj, gxyz, gfeat)
+        logits = np.asarray(model.net_3d(ptsj, fused)[0], np.float32)
+        np.add.at(acc, sel, logits)
+        np.add.at(counts, sel, 1)
+    nn_fill_uncovered(scene.points, acc, counts)
+
+    np.testing.assert_allclose(got, acc, atol=2e-4, rtol=1e-4)
