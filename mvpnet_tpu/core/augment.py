@@ -69,6 +69,26 @@ def color_jitter(key, images, strength: float = 0.4):
     return jnp.clip(out, 0.0, 1.0)
 
 
+def augment_frame(key, image, label, *, flip_prob: float = 0.5, jitter: float = 0.4):
+    """2D-frame augmentation for frame-level pretraining (reference
+    ``ScanNet2D`` semantics, SURVEY.md §2.2 "2D dataset" / §3.6): random
+    horizontal flip applied to image AND label together, plus color jitter.
+
+    Args:
+      key: PRNG key.
+      image: (H, W, 3) float RGB in [0, 1].
+      label: (H, W) int labels.
+    """
+    kf, kj = jax.random.split(key)
+    if flip_prob > 0:
+        do = jax.random.bernoulli(kf, flip_prob)
+        image = jnp.where(do, image[:, ::-1, :], image)
+        label = jnp.where(do, label[:, ::-1], label)
+    if jitter > 0:
+        image = color_jitter(kj, image, jitter)
+    return image, label
+
+
 def augment_chunk(
     key,
     points,

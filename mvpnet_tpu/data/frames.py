@@ -1,0 +1,108 @@
+"""Frame-level 2D dataset (reference ``ScanNet2D`` equivalent).
+
+The reference pretrains its UNet on the FULL ScanNet 2D frame corpus with
+random frame sampling and 2D augmentation (mvpnet/data/scannet_2d.py,
+UNVERIFIED; SURVEY.md §2.2 "2D dataset", §3.6) — a different sampling
+distribution from the chunk pipeline's view-selected frames (round-1 gap,
+VERDICT missing #3). This module provides that capability:
+
+  host (this module): index every (scene, frame) pair, slice arrays — no
+    geometry work;
+  device (train/step.prepare_batch frame branch): dequantize + 2D
+    augmentation (horizontal flip + color jitter, core/augment.augment_frame).
+
+Batch layout: ``images (B, H, W, 3)``, ``seg_label_2d (B, H, W)`` — no
+points/depth keys, which is how ``prepare_batch`` recognizes frame mode.
+"""
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from mvpnet_tpu.config import DataConfig
+from mvpnet_tpu.data.synthetic import Scene
+
+
+class FrameDataset:
+    """Iterable over batched 2D frames from a set of scenes.
+
+    Training iteration samples frames uniformly over the whole corpus;
+    ``iter_epoch`` makes one deterministic in-order pass (full-corpus eval,
+    cli/test_2d.py).
+    """
+
+    def __init__(
+        self,
+        scenes: Sequence[Scene],
+        cfg: DataConfig,
+        *,
+        batch_size: int,
+        training: bool = True,
+        seed: int | None = None,
+    ):
+        if not len(scenes):
+            raise ValueError("FrameDataset needs at least one scene")
+        # lazy stores (data/scannet.SceneStore) stay lazy: frame counts come
+        # from the tiny poses arrays, scenes load on demand with LRU eviction
+        from mvpnet_tpu.data.scannet import SceneStore, frame_count
+
+        if isinstance(scenes, SceneStore):
+            self.scenes = scenes
+            counts = [frame_count(scenes.root, sid) for sid in scenes.ids]
+        else:
+            self.scenes = list(scenes)
+            counts = [len(s.depth) for s in self.scenes]
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.training = training
+        self._seed = cfg.seed if seed is None else seed
+        self.rng = np.random.default_rng(self._seed)
+        # full frame corpus: every (scene_idx, frame_idx) pair
+        self.index = [
+            (si, fi) for si, c in enumerate(counts) for fi in range(c)
+        ]
+        if not self.index:
+            raise ValueError("scenes contain no frames")
+
+    def _frame(self, si: int, fi: int) -> dict:
+        scene = self.scenes[si]
+        if self.cfg.compact_transfer:
+            image = np.clip(scene.rgb[fi] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        else:
+            image = scene.rgb[fi].astype(np.float32)
+        return {
+            "images": image,
+            "seg_label_2d": scene.label_2d[fi].astype(np.int32),
+        }
+
+    def sample(self, rng: np.random.Generator | None = None) -> dict:
+        rng = rng if rng is not None else self.rng
+        si, fi = self.index[rng.integers(len(self.index))]
+        return self._frame(si, fi)
+
+    def _batch(self, samples) -> dict:
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            yield self._batch([self.sample() for _ in range(self.batch_size)])
+
+    def worker_iter(self, worker_id: int) -> Iterator[dict]:
+        """Independent infinite batch stream for one prefetch worker (the
+        same lock-free contract as ChunkDataset.worker_iter)."""
+        rng = np.random.default_rng(np.random.SeedSequence([self._seed, worker_id]))
+        while True:
+            yield self._batch([self.sample(rng) for _ in range(self.batch_size)])
+
+    def iter_epoch(self) -> Iterator[dict]:
+        """One deterministic in-order pass over every frame; the last batch
+        is padded by repeating its final frame (``n_real`` marks real rows)."""
+        for start in range(0, len(self.index), self.batch_size):
+            block = self.index[start : start + self.batch_size]
+            n_real = len(block)
+            while len(block) < self.batch_size:
+                block.append(block[-1])
+            batch = self._batch([self._frame(si, fi) for si, fi in block])
+            batch["n_real"] = n_real
+            yield batch

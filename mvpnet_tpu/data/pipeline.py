@@ -153,9 +153,11 @@ class ChunkDataset:
         training: bool = True,
         seed: int | None = None,
     ):
-        if not scenes:
+        if not len(scenes):
             raise ValueError("ChunkDataset needs at least one scene")
-        self.scenes = list(scenes)
+        # keep lazy stores (data/scannet.SceneStore) as-is; list() would
+        # force-load every scene into RAM
+        self.scenes = scenes if hasattr(scenes, "__getitem__") else list(scenes)
         self.cfg = cfg
         self.batch_size = batch_size
         self.training = training
@@ -324,9 +326,22 @@ def build_dataset(cfg: DataConfig, *, batch_size: int, training: bool, seed: int
     elif cfg.name == "scannet":
         from mvpnet_tpu.data.scannet import load_scenes
 
-        scenes = load_scenes(cfg.root, split="train" if training else "val")
+        scenes = load_scenes(
+            cfg.root,
+            split="train" if training else "val",
+            lazy=True,
+            capacity=cfg.cache_scenes,
+        )
     else:
         raise ValueError(f"unknown dataset {cfg.name!r}")
+    if cfg.sampling == "frames":
+        from mvpnet_tpu.data.frames import FrameDataset
+
+        return FrameDataset(
+            scenes, cfg, batch_size=batch_size, training=training, seed=seed
+        )
+    if cfg.sampling != "chunks":
+        raise ValueError(f"unknown sampling mode {cfg.sampling!r}")
     return ChunkDataset(
         scenes, cfg, batch_size=batch_size, training=training, seed=seed
     )
