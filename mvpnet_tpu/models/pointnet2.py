@@ -46,13 +46,19 @@ class SetAbstraction(nnx.Module):
         self.mlp = SharedMLP(c_in, mlp_channels, norm=norm, dtype=dtype, rngs=rngs)
         self.out_channels = self.mlp.out_channels
 
-    def __call__(self, xyz, features):
-        """xyz: (B, N, 3); features: (B, N, C) or None.
+    def __call__(self, xyz, features, valid_mask=None):
+        """xyz: (B, N, 3); features: (B, N, C) or None; valid_mask: optional
+        (B, N) bool for padded inputs — invalid points are never selected as
+        centroids nor gathered as neighbors (masked FPS/ball-query variants).
 
         Returns (new_xyz (B, M, 3), new_features (B, M, C'))."""
-        centroid_idx = ops.farthest_point_sample(xyz, self.npoint)  # (B, M)
+        centroid_idx = ops.farthest_point_sample(
+            xyz, self.npoint, valid_mask=valid_mask
+        )  # (B, M)
         new_xyz = jnp.take_along_axis(xyz, centroid_idx[..., None], axis=1)
-        group_idx, _ = ops.ball_query(new_xyz, xyz, self.radius, self.nsample)
+        group_idx, _ = ops.ball_query(
+            new_xyz, xyz, self.radius, self.nsample, valid_mask=valid_mask
+        )
         grouped_xyz = ops.group_points(xyz, group_idx)  # (B, M, K, 3)
         local_xyz = grouped_xyz - new_xyz[:, :, None, :]
         if features is not None:
@@ -130,8 +136,16 @@ class PN2SSG(nnx.Module):
             cfg.head_channels, cfg.num_classes, dtype=dtype, param_dtype=jnp.float32, rngs=rngs
         )
 
-    def __call__(self, xyz, features=None):
+    def __call__(self, xyz, features=None, valid_mask=None):
         """xyz: (B, N, 3); features: (B, N, C_in) or None.
+
+        valid_mask: optional (B, N) bool for PADDED inputs. The chunk
+        pipeline guarantees exactly-N valid points (sampling with
+        replacement, data/pipeline.sample_chunk_points), so the production
+        path passes None; callers feeding padded point sets MUST pass the
+        mask — only the first SA level needs it (masked FPS selects only
+        valid centroids, so every coarser level is all-valid), and output
+        rows at invalid positions are garbage to be discarded.
 
         Returns per-point logits (B, N, num_classes) float32."""
         xyz = xyz.astype(jnp.float32)
@@ -139,8 +153,8 @@ class PN2SSG(nnx.Module):
             features = features.astype(jnp.dtype(self.cfg.dtype))
         xyzs = [xyz]
         feats = [features]
-        for sa in self.sa_layers:
-            xyz, features = sa(xyz, features)
+        for i, sa in enumerate(self.sa_layers):
+            xyz, features = sa(xyz, features, valid_mask if i == 0 else None)
             xyzs.append(xyz)
             feats.append(features)
         # feature propagation back up

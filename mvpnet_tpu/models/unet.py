@@ -95,6 +95,93 @@ def _resize_to(x, target_hw):
     ).astype(x.dtype)
 
 
+def load_torch_resnet34(encoder: ResNet34Encoder, state_dict) -> list[str]:
+    """Import torchvision ``resnet34`` weights into the NNX encoder.
+
+    SURVEY.md §7 "2D pretraining without ImageNet weights": this machine has
+    no network, so the encoder normally trains from scratch via train_2d —
+    but if torchvision weights appear on disk (a ``torch.load``-able .pth
+    state_dict or an .npz with the same key layout), this maps them in:
+
+      conv1/layerL.B.convN weights: NCHW (O, I, kH, kW) -> HWIO;
+      bn weight/bias/running_mean/running_var -> scale/bias/mean/var;
+      layerL.B.downsample.{0,1} -> stages[L-1][B].down.{conv,norm}.
+
+    Head keys (fc.*) and num_batches_tracked are ignored. Returns the list
+    of consumed keys; raises KeyError on a missing expected key and
+    ValueError on a shape mismatch — a partial or differently-shaped
+    checkpoint fails loudly instead of loading silently wrong.
+    """
+    import numpy as np
+
+    used: list[str] = []
+
+    def arr(name):
+        if name not in state_dict:
+            raise KeyError(f"torch resnet34 state_dict missing key {name!r}")
+        v = state_dict[name]
+        if hasattr(v, "detach"):  # torch tensor without importing torch
+            v = v.detach().cpu().numpy()
+        used.append(name)
+        return np.asarray(v)
+
+    def set_conv(conv, name):
+        k = arr(name).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        want = tuple(conv.kernel.value.shape)
+        if want != k.shape:
+            raise ValueError(f"{name}: shape {k.shape} != encoder {want}")
+        conv.kernel.value = jnp.asarray(k, conv.kernel.value.dtype)
+
+    def set_bn(norm, prefix):
+        if not isinstance(norm, nnx.BatchNorm):
+            raise ValueError(
+                f"{prefix}: torchvision weights carry BatchNorm stats but the "
+                f"encoder was built with norm={type(norm).__name__}"
+            )
+        for tkey, attr in (
+            ("weight", "scale"),
+            ("bias", "bias"),
+            ("running_mean", "mean"),
+            ("running_var", "var"),
+        ):
+            v = arr(f"{prefix}.{tkey}")
+            slot = getattr(norm, attr)
+            if tuple(slot.value.shape) != v.shape:
+                raise ValueError(
+                    f"{prefix}.{tkey}: shape {v.shape} != {tuple(slot.value.shape)}"
+                )
+            slot.value = jnp.asarray(v, slot.value.dtype)
+
+    set_conv(encoder.stem, "conv1.weight")
+    set_bn(encoder.stem_norm, "bn1")
+    for s, stage in enumerate(encoder.stages):
+        for b, block in enumerate(stage):
+            p = f"layer{s + 1}.{b}"
+            set_conv(block.conv1.conv, f"{p}.conv1.weight")
+            set_bn(block.conv1.norm, f"{p}.bn1")
+            set_conv(block.conv2.conv, f"{p}.conv2.weight")
+            set_bn(block.conv2.norm, f"{p}.bn2")
+            if block.down is not None:
+                set_conv(block.down.conv, f"{p}.downsample.0.weight")
+                set_bn(block.down.norm, f"{p}.downsample.1")
+    return used
+
+
+def load_torch_resnet34_file(encoder: ResNet34Encoder, path: str) -> list[str]:
+    """load_torch_resnet34 from a .pth (torch.load) or .npz file on disk."""
+    if path.endswith(".npz"):
+        import numpy as np
+
+        with np.load(path) as f:
+            return load_torch_resnet34(encoder, dict(f))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return load_torch_resnet34(encoder, sd)
+
+
 class UNetResNet34(nnx.Module):
     """Encoder-decoder producing (features, logits), both at input resolution."""
 

@@ -72,6 +72,18 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
         logger.info("mesh: %s", dict(mesh.shape))
         nnx.update(model, jax.device_put(nnx.state(model), replicated(mesh)))
 
+    if cfg.model.unet.torch_weights and hasattr(model, "net_2d"):
+        from mvpnet_tpu.models.unet import load_torch_resnet34_file
+
+        keys = load_torch_resnet34_file(
+            model.net_2d.encoder, cfg.model.unet.torch_weights
+        )
+        logger.info(
+            "imported torchvision resnet34 encoder from %s (%d keys)",
+            cfg.model.unet.torch_weights,
+            len(keys),
+        )
+
     if cfg.model.pretrained_2d and hasattr(model, "net_2d"):
         loaded = warm_start_2d(model, cfg.model.pretrained_2d)
         logger.info("2D warm-start from %s: %s", cfg.model.pretrained_2d, loaded)
