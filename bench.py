@@ -26,7 +26,8 @@ import numpy as np
 
 CHUNKS_PER_SCENE = 25
 B, N, V, H, W = 4, 8192, 5, 120, 160
-TORCH_ITERS = 2
+ORACLE_ITERS = 5  # real-op torch baseline (VERDICT r1 item 4: >=5)
+STANDIN_ITERS = 3  # shape-only legacy baseline, kept for the ratio history
 JAX_ITERS = 20
 
 
@@ -36,8 +37,27 @@ def build_batch(rng):
     return _example_batch(rng, B=B, N=N, V=V, H=H, W=W)
 
 
-def bench_ours() -> float:
-    """Returns chunks/sec on the default jax device."""
+def unproject_np(depth, intrinsics, poses, fill=1e6):
+    """NumPy mirror of core/camera.unproject_views for the torch baseline
+    (the reference lifts on CPU in DataLoader workers, §3.4 — so the torch
+    side bears the lift cost inside its timed loop, like ours does in-jit)."""
+    Bv, Vv, Hh, Ww = depth.shape
+    fx, fy = intrinsics[:, 0, 0], intrinsics[:, 1, 1]
+    cx, cy = intrinsics[:, 0, 2], intrinsics[:, 1, 2]
+    u = np.arange(Ww, dtype=np.float32)[None, :]
+    v = np.arange(Hh, dtype=np.float32)[:, None]
+    sh = (Bv, 1, 1, 1)
+    x = (u - cx.reshape(sh)) / fx.reshape(sh) * depth
+    y = (v - cy.reshape(sh)) / fy.reshape(sh) * depth
+    xyz_cam = np.stack([x, y, depth], axis=-1)  # (B,V,H,W,3)
+    rot = poses[..., :3, :3]  # (B,V,3,3)
+    t = poses[..., :3, 3]  # (B,V,3)
+    xyz = np.einsum("bvhwj,bvij->bvhwi", xyz_cam, rot) + t[:, :, None, None, :]
+    return np.where(depth[..., None] > 0, xyz, fill).astype(np.float32)
+
+
+def bench_ours():
+    """Returns (chunks/sec on the default jax device, eval-mode model, cfg)."""
     import jax
     from flax import nnx
 
@@ -65,13 +85,52 @@ def bench_ours() -> float:
         out = forward(state, batch)
     _ = np.asarray(out)
     dt = (time.perf_counter() - t0) / JAX_ITERS
+    return B / dt, model, cfg
+
+
+def bench_torch_oracle(model, cfg) -> float:
+    """Baseline of record: the FULL fusion net in torch-CPU with the REAL op
+    semantics — sequential FPS, index-order ball query, cKDTree kNN and 3-NN
+    IDW interpolation (tests/oracle_torch.py, the independently-verified
+    parity oracle) — loaded with the same weights as the jax model. This is
+    the reference's framework running the identical network on its only
+    runnable backend here; the per-chunk CPU lift + kNN the reference does in
+    DataLoader workers (§3.4) is included in the timed loop. Returns
+    chunks/sec."""
+    import torch
+
+    from tests.oracle_torch import TorchMVPNet3D
+
+    torch.set_num_threads(max(torch.get_num_threads(), 8))
+    net = TorchMVPNet3D(model).eval()
+
+    rng = np.random.default_rng(0)
+    raw = build_batch(rng)
+    images = torch.from_numpy(raw["images"])
+    points = torch.from_numpy(raw["points"])
+
+    def run():
+        image_xyz = unproject_np(raw["depth"], raw["intrinsics"], raw["poses"])
+        batch = {
+            "points": points,
+            "images": images,
+            "image_xyz": torch.from_numpy(image_xyz),
+        }
+        return net(batch)
+
+    with torch.no_grad():
+        run()  # warm
+        t0 = time.perf_counter()
+        for _ in range(ORACLE_ITERS):
+            run()
+        dt = (time.perf_counter() - t0) / ORACLE_ITERS
     return B / dt
 
 
-def bench_torch_baseline() -> float:
-    """Same forward math in torch-CPU (the reference's framework); returns
-    chunks/sec. Minimal re-statement for measurement only — NOT part of the
-    framework."""
+def bench_torch_standin() -> float:
+    """Legacy shape-only baseline (round-1 bench): same tensor shapes but
+    linspace subsampling instead of real FPS/ball-query. Kept so the ratio
+    history stays comparable; the metric of record is bench_torch_oracle."""
     import torch
     import torch.nn as nn
 
@@ -212,26 +271,35 @@ def bench_torch_baseline() -> float:
     with torch.no_grad():
         net(images, points, image_xyz)  # warm
         t0 = time.perf_counter()
-        for _ in range(TORCH_ITERS):
+        for _ in range(STANDIN_ITERS):
             net(images, points, image_xyz)
-        dt = (time.perf_counter() - t0) / TORCH_ITERS
+        dt = (time.perf_counter() - t0) / STANDIN_ITERS
     return B / dt
 
 
 def main():
-    ours = bench_ours()
+    ours, model, cfg = bench_ours()
     try:
-        base = bench_torch_baseline()
+        base = bench_torch_oracle(model, cfg)
     except Exception as e:  # baseline failure must not kill the bench
-        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        print(f"oracle baseline measurement failed: {e}", file=sys.stderr)
         base = float("nan")
+    try:
+        standin = bench_torch_standin()
+    except Exception as e:
+        print(f"standin baseline measurement failed: {e}", file=sys.stderr)
+        standin = float("nan")
 
     scenes_per_sec = ours / CHUNKS_PER_SCENE
     base_scenes = base / CHUNKS_PER_SCENE if np.isfinite(base) else float("nan")
     vs = ours / base if np.isfinite(base) and base > 0 else None
+    vs_standin = (
+        round(ours / standin, 2) if np.isfinite(standin) and standin > 0 else None
+    )
     print(
         f"ours: {ours:.2f} chunks/s ({scenes_per_sec:.3f} scenes/s); "
-        f"torch-cpu baseline: {base:.2f} chunks/s ({base_scenes:.3f} scenes/s)",
+        f"torch-cpu real-op oracle: {base:.2f} chunks/s ({base_scenes:.3f} scenes/s); "
+        f"torch-cpu shape-only standin: {standin:.2f} chunks/s",
         file=sys.stderr,
     )
     print(
@@ -241,6 +309,7 @@ def main():
                 "value": round(scenes_per_sec, 4),
                 "unit": "scenes/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "vs_baseline_standin": vs_standin,
             }
         )
     )

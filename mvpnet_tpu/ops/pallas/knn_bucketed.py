@@ -246,12 +246,17 @@ def _prepare(queries, refs, tile_m, tile_n):
     return q_sorted, r_sorted, q_order, r_order, order, lb_sorted, M_pad, N_pad
 
 
-def _knn_forward(queries, refs, k: int):
+def _knn_forward(queries, refs, k: int, *, tile_m=None, tile_n=None, sub_gate=None):
+    """tile_m/tile_n/sub_gate default to the measured dispatch policy; the
+    overrides exist for tools/knn_gate_bench.py parameter sweeps."""
     B, M, _ = queries.shape
     N = refs.shape[1]
-    tile_m = min(_TILE_M, max(_SUB, M))
+    tile_m = tile_m or min(_TILE_M, max(_SUB, M))
     big = N >= _BIG_N
-    tile_n = _TILE_N_BIG if big else _TILE_N
+    if tile_n is None:
+        tile_n = _TILE_N_BIG if big else _TILE_N
+    if sub_gate is None:
+        sub_gate = big
 
     q_sorted, r_sorted, q_order, r_order, order, lb_sorted, M_pad, N_pad = _prepare(
         queries, refs, tile_m, tile_n
@@ -260,7 +265,7 @@ def _knn_forward(queries, refs, k: int):
     rT = jnp.swapaxes(r_sorted, 1, 2)  # (B, 3, N_pad)
 
     grid = (B, M_pad // tile_m, nt)
-    kernel = functools.partial(_gated_kernel, k=k, tile_n=tile_n, sub_gate=big)
+    kernel = functools.partial(_gated_kernel, k=k, tile_n=tile_n, sub_gate=sub_gate)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
