@@ -51,50 +51,58 @@ def _bq_kernel(
         near_d[:] = jnp.full(near_d.shape, jnp.inf, jnp.float32)
         near_i[:] = jnp.zeros(near_i.shape, jnp.int32)
 
-    c = c_ref[0]  # (TM, 3)
-    r = r_ref[0]  # (3, TN)
-    dx = c[:, 0:1] - r[0:1, :]
-    dy = c[:, 1:2] - r[1:2, :]
-    dz = c[:, 2:3] - r[2:3, :]
-    d2 = dx * dx + dy * dy + dz * dz  # (TM, TN)
+    # EARLY EXIT (one scalar branch): tiles advance in column order and the
+    # contract is "first K hits in index order", so once EVERY center row has
+    # k hits, no later tile can contribute a slot < k — skip its entire body.
+    # (min(count) >= k >= 1 also means no row will need the empty-ball
+    # nearest fallback, so skipping that tracking is safe too.) Exact by
+    # construction; measured multi-x at SA scales where balls fill early.
+    @pl.when((j == 0) | (jnp.min(count_buf[:, 0]) < k))
+    def _tile_body():
+        c = c_ref[0]  # (TM, 3)
+        r = r_ref[0]  # (3, TN)
+        dx = c[:, 0:1] - r[0:1, :]
+        dy = c[:, 1:2] - r[1:2, :]
+        dz = c[:, 2:3] - r[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz  # (TM, TN)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    col_global = col + j * tile_n
-    valid = col_global < n_total
-    d2 = jnp.where(valid, d2, jnp.inf)
+        col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        col_global = col + j * tile_n
+        valid = col_global < n_total
+        d2 = jnp.where(valid, d2, jnp.inf)
 
-    # nearest-point fallback tracking (existing wins ties -> lower index)
-    tile_min = jnp.min(d2, axis=1)
-    tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + j * tile_n
-    better = tile_min < near_d[:, 0]
-    near_d[:, 0] = jnp.where(better, tile_min, near_d[:, 0])
-    near_i[:, 0] = jnp.where(better, tile_arg, near_i[:, 0])
+        # nearest-point fallback tracking (existing wins ties -> lower index)
+        tile_min = jnp.min(d2, axis=1)
+        tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + j * tile_n
+        better = tile_min < near_d[:, 0]
+        near_d[:, 0] = jnp.where(better, tile_min, near_d[:, 0])
+        near_i[:, 0] = jnp.where(better, tile_arg, near_i[:, 0])
 
-    in_ball = d2 < radius2
-    # inclusive prefix sum along lanes (Mosaic has no cumsum primitive):
-    # Hillis-Steele scan with static shifted adds, log2(TN) rounds
-    rank = in_ball.astype(jnp.int32)
-    shift = 1
-    while shift < rank.shape[1]:
-        shifted = jnp.concatenate(
-            [jnp.zeros((rank.shape[0], shift), jnp.int32), rank[:, :-shift]],
-            axis=1,
+        in_ball = d2 < radius2
+        # inclusive prefix sum along lanes (Mosaic has no cumsum primitive):
+        # Hillis-Steele scan with static shifted adds, log2(TN) rounds
+        rank = in_ball.astype(jnp.int32)
+        shift = 1
+        while shift < rank.shape[1]:
+            shifted = jnp.concatenate(
+                [jnp.zeros((rank.shape[0], shift), jnp.int32), rank[:, :-shift]],
+                axis=1,
+            )
+            rank = rank + shifted
+            shift *= 2
+        gslot = count_buf[:, 0:1] + rank - 1  # (TM, TN) global slot per hit
+        gslot = jnp.where(in_ball, gslot, -1)
+        hitcol = jnp.where(in_ball, col_global, 0)
+
+        acc = slot_buf[:]
+        slot_id = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+        for s in range(k):
+            contrib = jnp.sum(jnp.where(gslot == s, hitcol, 0), axis=1)  # (TM,)
+            acc = acc + jnp.where(slot_id == s, contrib[:, None], 0)
+        slot_buf[:] = acc
+        count_buf[:, 0] = count_buf[:, 0] + jnp.sum(
+            in_ball.astype(jnp.int32), axis=1
         )
-        rank = rank + shifted
-        shift *= 2
-    gslot = count_buf[:, 0:1] + rank - 1  # (TM, TN) global slot per hit
-    gslot = jnp.where(in_ball, gslot, -1)
-    hitcol = jnp.where(in_ball, col_global, 0)
-
-    acc = slot_buf[:]
-    slot_id = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
-    for s in range(k):
-        contrib = jnp.sum(jnp.where(gslot == s, hitcol, 0), axis=1)  # (TM,)
-        acc = acc + jnp.where(slot_id == s, contrib[:, None], 0)
-    slot_buf[:] = acc
-    count_buf[:, 0] = count_buf[:, 0] + jnp.sum(
-        in_ball.astype(jnp.int32), axis=1
-    )
 
     @pl.when(j == n_tiles - 1)
     def _write():

@@ -262,3 +262,22 @@ def test_gated_knn_big_mode_matches_reference(rng, small_gated_tiles, monkeypatc
         np.sort(np.asarray(i_got), -1), np.sort(np.asarray(i_want), -1)
     )
     np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_want), atol=1e-5)
+
+
+def test_pallas_fps_batched_and_per_row_agree(rng):
+    """Both kernel variants (all-rows-resident and per-row grid) must match
+    the reference exactly; force each path via the VMEM-budget gate."""
+    from mvpnet_tpu.ops import reference as ref
+
+    pts = jnp.asarray(rng.uniform(-2, 2, (3, 600, 3)), jnp.float32)
+    want = np.asarray(ref.farthest_point_sample(pts, 24))
+    with pltpu.force_tpu_interpret_mode():
+        got_batched = np.asarray(pfps.farthest_point_sample(pts, 24))
+        old_bn = pfps._MAX_BN
+        pfps._MAX_BN = 1  # force the per-row grid kernel
+        try:
+            got_rows = np.asarray(pfps.farthest_point_sample(pts, 24))
+        finally:
+            pfps._MAX_BN = old_bn
+    np.testing.assert_array_equal(got_batched, want)
+    np.testing.assert_array_equal(got_rows, want)

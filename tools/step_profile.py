@@ -1,0 +1,105 @@
+"""End-to-end train-step breakdown + MFU accounting (SURVEY.md §5 tracing
+row; round-1 VERDICT missing #7 / next #3).
+
+Run on the TPU host:  python tools/step_profile.py [--steps 30]
+
+Reports, as one JSON object on stdout:
+  * compute_ms: jitted train-step wall time (params+batch resident)
+  * data_ms: host time to produce + device_put one batch under the real
+    threaded prefetcher (measured as consumer-side stall, i.e. what the
+    train loop actually waits)
+  * data_frac: data stall / total step
+  * flops_per_step (XLA cost analysis) and MFU vs the v5e bf16 peak
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import os, sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+from flax import nnx
+
+V5E_PEAK_FLOPS = 394e12  # bf16 per chip
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--batch-size", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from mvpnet_tpu.config import Config
+    from mvpnet_tpu.data.pipeline import PrefetchIterator, build_dataset
+    from mvpnet_tpu.models import build_model
+    from mvpnet_tpu.train.solver import build_optimizer
+    from mvpnet_tpu.train.step import make_train_step
+
+    cfg = Config()
+    model, loss_fn, metric_fn = build_model(cfg, rngs=nnx.Rngs(0))
+    optimizer = nnx.Optimizer(model, build_optimizer(cfg.solver), wrt=nnx.Param)
+    train_step = make_train_step(cfg, loss_fn, metric_fn)
+
+    ds = build_dataset(
+        cfg.data, batch_size=args.batch_size, training=True, seed=0
+    )
+    it = PrefetchIterator(ds, prefetch=cfg.data.prefetch, num_threads=cfg.data.num_workers)
+
+    key = jax.random.key(0)
+    # warm: compile + fill the prefetch queue
+    batch = next(it)
+    m = train_step(model, optimizer, batch, key)
+    _ = np.asarray(m["loss"])
+
+    # FLOPs from XLA cost analysis of the compiled step (donation disabled
+    # for analysis-only lowering would complicate reuse; analyze a fresh
+    # non-donating lowering of the same function)
+    flops = None
+    try:
+        # lower the nnx.jit'd step and read XLA's cost analysis
+        lowered = train_step.lower(model, optimizer, batch, key)
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(c.get("flops", float("nan")))
+    except Exception as e:  # cost analysis is best-effort on the axon backend
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
+    # measure: consumer-side data stall + step compute, like the train loop
+    data_t, step_t = [], []
+    for _ in range(args.steps):
+        t0 = time.perf_counter()
+        batch = next(it)
+        t1 = time.perf_counter()
+        key, sub = jax.random.split(key)
+        m = train_step(model, optimizer, batch, sub)
+        _ = np.asarray(m["loss"])  # materialize: axon block_until_ready lies
+        t2 = time.perf_counter()
+        data_t.append(t1 - t0)
+        step_t.append(t2 - t1)
+    it.close()
+
+    data_ms = float(np.mean(data_t) * 1e3)
+    compute_ms = float(np.mean(step_t) * 1e3)
+    total_ms = data_ms + compute_ms
+    out = {
+        "batch_size": args.batch_size,
+        "steps": args.steps,
+        "compute_ms": round(compute_ms, 2),
+        "data_ms": round(data_ms, 2),
+        "data_frac": round(data_ms / total_ms, 4),
+        "chunks_per_sec": round(args.batch_size / (total_ms / 1e3), 2),
+    }
+    if flops:
+        out["flops_per_step"] = flops
+        out["mfu"] = round(flops / (compute_ms / 1e3) / V5E_PEAK_FLOPS, 4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
