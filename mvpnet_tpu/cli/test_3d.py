@@ -24,7 +24,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--cfg", default=None)
     ap.add_argument("--export", default=None, help="benchmark export dir")
-    ap.add_argument("--batch-size", type=int, default=4)
+    # default None -> cfg.eval.batch_size (CLI wins when given)
+    ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument(
         "--sharded",
         action="store_true",
@@ -59,7 +60,7 @@ def main(argv=None):
         model,
         cfg,
         ds.scenes,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size or cfg.eval.batch_size,
         export_dir=args.export,
         mesh=mesh,
     )

@@ -142,6 +142,10 @@ class DataConfig:
     # scenes kept resident by the lazy scene store (scannet datasets stream
     # per-scene npz files on demand; data/scannet.SceneStore)
     cache_scenes: int = 32
+    # frame-mode sampling locality: frames drawn per scene visit (scene
+    # picked proportional to its frame count, so the per-frame marginal
+    # stays uniform); amortizes lazy scene loads K-fold (data/frames.py)
+    frames_per_scene_visit: int = 8
     # host-side prefetch depth (double-buffered device_put)
     prefetch: int = 2
     num_workers: int = 8

@@ -64,6 +64,8 @@ class FrameDataset:
         ]
         if not self.index:
             raise ValueError("scenes contain no frames")
+        self._counts = np.asarray(counts, np.int64)
+        self._scene_probs = self._counts / self._counts.sum()
 
     def _frame(self, si: int, fi: int) -> dict:
         scene = self.scenes[si]
@@ -81,19 +83,42 @@ class FrameDataset:
         si, fi = self.index[rng.integers(len(self.index))]
         return self._frame(si, fi)
 
+    def _sample_stream(self, rng) -> Iterator[dict]:
+        """Locality-aware infinite sample stream: pick a scene with
+        probability proportional to its frame count (so the per-frame
+        marginal stays uniform over the corpus), then draw
+        ``frames_per_scene_visit`` frames from it before moving on.
+
+        Over a lazy SceneStore on a real-sized corpus, fully-uniform
+        sampling makes nearly every sample decompress a whole scene's frame
+        archive to slice one frame and thrashes the LRU across workers
+        (advisor round-2 medium #1); visiting K frames per resident scene
+        amortizes each load K-fold. Samples within a visit are correlated
+        (same scene) — the standard locality/shuffle-quality trade."""
+        k = max(1, int(getattr(self.cfg, "frames_per_scene_visit", 1)))
+        if k == 1 or len(self._counts) == 1:
+            while True:
+                yield self.sample(rng)
+        while True:
+            si = int(rng.choice(len(self._counts), p=self._scene_probs))
+            for fi in rng.integers(self._counts[si], size=k):
+                yield self._frame(si, int(fi))
+
     def _batch(self, samples) -> dict:
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
     def __iter__(self) -> Iterator[dict]:
+        stream = self._sample_stream(self.rng)
         while True:
-            yield self._batch([self.sample() for _ in range(self.batch_size)])
+            yield self._batch([next(stream) for _ in range(self.batch_size)])
 
     def worker_iter(self, worker_id: int) -> Iterator[dict]:
         """Independent infinite batch stream for one prefetch worker (the
         same lock-free contract as ChunkDataset.worker_iter)."""
         rng = np.random.default_rng(np.random.SeedSequence([self._seed, worker_id]))
+        stream = self._sample_stream(rng)
         while True:
-            yield self._batch([self.sample(rng) for _ in range(self.batch_size)])
+            yield self._batch([next(stream) for _ in range(self.batch_size)])
 
     def iter_epoch(self) -> Iterator[dict]:
         """One deterministic in-order pass over every frame; the last batch

@@ -158,13 +158,18 @@ def make_global_array(mesh: Mesh, local_batch: np.ndarray, spec: P | None = None
     return jax.make_array_from_process_local_data(sharding, local_batch, global_shape)
 
 
-def make_global_batch(mesh: Mesh, batch: dict) -> dict:
-    """Multi-host analog of dist.mesh.shard_batch for a dict of arrays."""
+def make_global_batch(mesh: Mesh, batch: dict, specs: dict | None = None) -> dict:
+    """Multi-host analog of dist.mesh.shard_batch for a dict of arrays.
+
+    ``specs`` (key -> PartitionSpec) overrides the default P(data) layout —
+    space-sharded training feeds dist.train_sp.batch_specs here so view axes
+    land sharded over the space axis.
+    """
     ndata = mesh.shape[DATA_AXIS]
     out = {}
     for k, v in batch.items():
         if v.ndim >= 1 and (v.shape[0] * jax.process_count()) % ndata == 0:
-            out[k] = make_global_array(mesh, v)
+            out[k] = make_global_array(mesh, v, spec=specs.get(k) if specs else None)
         else:
             out[k] = jax.device_put(v, NamedSharding(mesh, P()))
     return out

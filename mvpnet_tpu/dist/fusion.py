@@ -41,14 +41,22 @@ def _merge_topk(best, cand, k: int):
     return new_d, new_xyz, new_feat
 
 
-def ring_knn_local(points, pixel_xyz, pixel_feat, *, k: int, axis: str):
+def ring_knn_local(points, pixel_xyz, pixel_feat, *, k: int, axis: str, unroll: bool = False):
     """Ring kNN body — call from inside shard_map over ``axis``.
 
     Per-shard points (N_s, 3), local pixel block (Pb, 3)/(Pb, C); after S-1
     ``ppermute`` hops every shard has folded every pixel block into its
     running top-k. Returns (d (N_s,k), xyz (N_s,k,3), feat (N_s,k,C)).
     Consumed by sharded_fusion_knn below and by the space-sharded whole-scene
-    inference path (eval/sharded_scene.py)."""
+    inference path (eval/sharded_scene.py).
+
+    ``unroll=True`` replaces the ``fori_loop`` with a Python loop over the
+    (static) ring length so the whole exchange is reverse-mode
+    differentiable — gradients flow back through the gathered features and
+    positions (``ppermute``/``take_along_axis`` both have transposes, but
+    ``fori_loop`` lowers to ``while_loop`` which does not). The space-sharded
+    TRAIN step (dist/train_sp.py) requires this; eval paths keep the rolled
+    loop for compile-time economy at large ring sizes."""
     size = jax.lax.axis_size(axis)
 
     def local_knn(px, pf):
@@ -69,9 +77,13 @@ def ring_knn_local(points, pixel_xyz, pixel_feat, *, k: int, axis: str):
         best = _merge_topk(best, cand, k)
         return best, px, pf
 
-    best, _, _ = jax.lax.fori_loop(
-        0, size - 1, step, (best, pixel_xyz, pixel_feat)
-    )
+    carry = (best, pixel_xyz, pixel_feat)
+    if unroll:
+        for i in range(size - 1):
+            carry = step(i, carry)
+        best, _, _ = carry
+    else:
+        best, _, _ = jax.lax.fori_loop(0, size - 1, step, carry)
     return best
 
 

@@ -192,6 +192,11 @@ def predict_scene_sharded(
     chunks = enumerate_scene_chunks(scene, cfg)
     logits_acc = np.zeros((len(scene.points), cfg.data.num_classes), np.float32)
     counts = np.zeros(len(scene.points), np.int32)
+    if not chunks:  # degenerate/empty scene: all points NN-filled (= zeros)
+        from mvpnet_tpu.eval.whole_scene import nn_fill_uncovered
+
+        nn_fill_uncovered(scene.points, logits_acc, counts)
+        return logits_acc
     state_repl = jax.device_put(state, repl)
 
     for start in range(0, len(chunks), G):

@@ -18,8 +18,10 @@ TPU-first deviations:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
+from jax.sharding import NamedSharding, PartitionSpec
 
 from mvpnet_tpu import ops
 from mvpnet_tpu.config import AggregationConfig, ModelConfig
@@ -67,6 +69,9 @@ class MVPNet3D(nnx.Module):
     def __init__(self, cfg: ModelConfig, *, rngs: nnx.Rngs):
         dtype = jnp.dtype(cfg.pn2.dtype)
         self.cfg = cfg
+        # set via dist.train_sp.install_space_fusion: route the fusion kNN
+        # through the space-axis ring exchange (static attr -> retrace)
+        self.fusion_mesh = None
         self.net_2d = UNetResNet34(cfg.unet, rngs=rngs)
         self.aggregation = FeatureAggregation(
             cfg.unet.feature_channels,
@@ -104,10 +109,27 @@ class MVPNet3D(nnx.Module):
         pixel_xyz = image_xyz.reshape(B, V * H * W, 3)
 
         # on-device fusion kNN (reference: CPU KDTree in the dataset, §3.4)
-        _, knn_idx = ops.knn(points, pixel_xyz, self.cfg.aggregation.k)
-        grouped_feat = ops.group_points(pixel_feat, knn_idx)  # (B,N,K,C2d)
-        grouped_xyz = ops.group_points(pixel_xyz, knn_idx)  # (B,N,K,3)
+        mesh = self.fusion_mesh
+        if mesh is not None and mesh.shape.get("space", 1) > 1:
+            # space-sharded training (dist/train_sp.py): explicit ring
+            # exchange of pixel blocks over the space axis; no shard ever
+            # materializes the full per-chunk pixel cloud
+            from mvpnet_tpu.dist.train_sp import sharded_fusion_gather
+
+            grouped_xyz, grouped_feat = sharded_fusion_gather(
+                mesh, points, pixel_xyz, pixel_feat, self.cfg.aggregation.k
+            )
+        else:
+            _, knn_idx = ops.knn(points, pixel_xyz, self.cfg.aggregation.k)
+            grouped_feat = ops.group_points(pixel_feat, knn_idx)  # (B,N,K,C2d)
+            grouped_xyz = ops.group_points(pixel_xyz, knn_idx)  # (B,N,K,3)
 
         fused = self.aggregation(points, grouped_xyz, grouped_feat)
+        if mesh is not None and B % mesh.devices.size == 0:
+            # 3D net is chunk-self-contained: re-split the batch over BOTH
+            # mesh axes so the space shards do 1/S of the PN2SSG work too
+            sharding = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
+            points = jax.lax.with_sharding_constraint(points, sharding)
+            fused = jax.lax.with_sharding_constraint(fused, sharding)
         logits_3d = self.net_3d(points, fused)
         return logits_3d, logits_2d.reshape(B, V, H, W, -1)

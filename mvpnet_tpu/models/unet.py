@@ -164,6 +164,21 @@ def load_torch_resnet34(encoder: ResNet34Encoder, state_dict) -> list[str]:
             if block.down is not None:
                 set_conv(block.down.conv, f"{p}.downsample.0.weight")
                 set_bn(block.down.norm, f"{p}.downsample.1")
+    # a structurally mismatched checkpoint (e.g. downsample weights where the
+    # encoder has down=None) must not load "successfully" with weights
+    # silently dropped (advisor round-2 low #4)
+    leftover = [
+        k
+        for k in state_dict
+        if k not in used
+        and not k.startswith("fc.")
+        and not k.endswith("num_batches_tracked")
+    ]
+    if leftover:
+        raise ValueError(
+            f"torch resnet34 state_dict has {len(leftover)} unconsumed "
+            f"non-head keys (encoder structure mismatch): {leftover[:8]}..."
+        )
     return used
 
 

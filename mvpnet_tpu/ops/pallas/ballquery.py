@@ -39,7 +39,7 @@ def supported(centers, points, nsample: int) -> bool:
 def _bq_kernel(
     c_ref, r_ref, idx_out, cnt_out,
     slot_buf, count_buf, near_d, near_i,
-    *, k, radius2, n_total, tile_n,
+    *, k, radius2, n_total, tile_n, early_exit=True,
 ):
     j = pl.program_id(2)
     n_tiles = pl.num_programs(2)
@@ -56,8 +56,9 @@ def _bq_kernel(
     # k hits, no later tile can contribute a slot < k — skip its entire body.
     # (min(count) >= k >= 1 also means no row will need the empty-ball
     # nearest fallback, so skipping that tracking is safe too.) Exact by
-    # construction; measured multi-x at SA scales where balls fill early.
-    @pl.when((j == 0) | (jnp.min(count_buf[:, 0]) < k))
+    # construction; A/B measurement (early_exit=False) recorded in
+    # docs/PERF_NOTES.md (round-3 kernel-variant table).
+    @pl.when((j == 0) | (jnp.min(count_buf[:, 0]) < k) | (not early_exit))
     def _tile_body():
         c = c_ref[0]  # (TM, 3)
         r = r_ref[0]  # (3, TN)
@@ -114,7 +115,10 @@ def _bq_kernel(
         cnt_out[0] = cnt[:, None]
 
 
-def ball_query(centers, points, radius: float, nsample: int, valid_mask=None):
+def ball_query(
+    centers, points, radius: float, nsample: int, valid_mask=None,
+    early_exit: bool = True,
+):
     """Pallas ball query with the reference contract (see ops.reference)."""
     B, M, _ = centers.shape
     N = points.shape[1]
@@ -136,6 +140,7 @@ def ball_query(centers, points, radius: float, nsample: int, valid_mask=None):
         radius2=float(radius) ** 2,
         n_total=N,
         tile_n=tile_n,
+        early_exit=early_exit,
     )
     idx, cnt = pl.pallas_call(
         kernel,

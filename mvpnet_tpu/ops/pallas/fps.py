@@ -21,8 +21,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 # VMEM budget: refs (3, N) + dist (1, N) + mask (1, N) f32 -> N <= ~500k.
 _MAX_N = 1 << 19
-# batched variant holds (B, N) planes: refs + mask + dist + ~3 temps.
-_MAX_BN = 1 << 19
+# batched variant keeps ~10 live (B, N) f32 planes (4 inputs + dist scratch
+# + d2/new_dist/onehot/col temporaries in the kernel body): at 1<<18 that is
+# ~10 MB, leaving headroom under the 16 MB/core VMEM budget (advisor round-2
+# low #3: 1<<19 could exceed VMEM at the boundary even though the per-row
+# kernel would have fit).
+_MAX_BN = 1 << 18
 
 
 def supported(points, npoint: int) -> bool:
@@ -75,7 +79,8 @@ def _fps_batched_kernel(px_ref, py_ref, pz_ref, maskadd_ref, idx_out, dist_ref, 
     does ONE (B, N) distance-update + per-row argmax instead of B separate
     (1, N) sweeps. Same FLOPs, but the VPU sees B*N-wide vectors (full lane
     occupancy at chunk sizes) and the fori_loop overhead is paid npoint
-    times instead of B*npoint times — measured ~3x at SA1 scale (B8 8192)."""
+    times instead of B*npoint times — A/B vs _fps_perrow recorded in
+    docs/PERF_NOTES.md (round-3 kernel-variant table)."""
     px = px_ref[:]  # (B, N)
     py = py_ref[:]
     pz = pz_ref[:]
@@ -142,7 +147,14 @@ def farthest_point_sample(points, npoint: int, valid_mask=None):
 
     if B * N <= _MAX_BN:
         return _fps_batched(points, npoint, maskadd_2d)
+    return _fps_perrow(points, npoint, maskadd_2d)
 
+
+def _fps_perrow(points, npoint, maskadd_2d):
+    """(1, N)-per-program variant: one grid step per batch row; VMEM holds a
+    single row's planes, so it covers N up to _MAX_N where the batched
+    variant's (B, N) planes would not fit."""
+    B, N, _ = points.shape
     rT = jnp.swapaxes(points.astype(jnp.float32), 1, 2)  # (B, 3, N)
     maskadd = maskadd_2d[:, None, :]
 

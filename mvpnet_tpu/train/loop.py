@@ -71,6 +71,19 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
     if mesh is not None:
         logger.info("mesh: %s", dict(mesh.shape))
         nnx.update(model, jax.device_put(nnx.state(model), replicated(mesh)))
+    sp_specs = None
+    if (
+        mesh is not None
+        and mesh.shape.get("space", 1) > 1
+        and hasattr(model, "aggregation")
+    ):
+        # space-sharded training: ring fusion inside the jitted step, view /
+        # point / pixel axes sharded over space (dist/train_sp.py)
+        from mvpnet_tpu.dist.train_sp import batch_specs, install_space_fusion
+
+        install_space_fusion(model, mesh)
+        sp_specs = batch_specs
+        logger.info("space-sharded training enabled (space=%d)", cfg.mesh.space)
 
     if cfg.model.unet.torch_weights and hasattr(model, "net_2d"):
         from mvpnet_tpu.models.unet import load_torch_resnet34_file
@@ -113,7 +126,11 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
     # each host loads its slice of the global batch; the prefetcher assembles
     # the globally-sharded array (dist/bootstrap.py)
     local_bs = bootstrap.global_batch_to_local(cfg.train.batch_size)
-    put_fn = (lambda b: bootstrap.make_global_batch(mesh, b)) if mesh is not None else None
+    put_fn = None
+    if mesh is not None:
+        put_fn = lambda b: bootstrap.make_global_batch(
+            mesh, b, specs=sp_specs(b) if sp_specs else None
+        )
     train_ds = build_dataset(
         cfg.data,
         batch_size=local_bs,

@@ -136,6 +136,72 @@ def test_train_loop_on_mesh(tmp_path, devices):
     assert (tmp_path / "config.yaml").exists()
 
 
+@pytest.mark.parametrize("space", [2, 4])
+def test_sp_train_step_grad_parity(rng, devices, space):
+    """Space-sharded training (view/point/pixel axes over ``space``, ring
+    fusion inside the standard jitted step) must produce the same loss,
+    updated params, batch stats, and confusion matrix as the unsharded step
+    on the same global batch (round-2 VERDICT next #3)."""
+    from tests.test_models import tiny_config
+    from mvpnet_tpu.dist.train_sp import install_space_fusion, shard_batch_sp
+    from mvpnet_tpu.models import build_model
+    from mvpnet_tpu.train.solver import build_optimizer
+    from mvpnet_tpu.train.step import make_train_step
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, augment=True),
+        train=dataclasses.replace(cfg.train, donate=False),
+        # SGD: the update is linear in the gradient, so float-reorder noise
+        # stays ~1e-6. (Adam's first-step update is ~sign(g)*lr — a near-zero
+        # gradient element can flip sign under reordering and move 2*lr.)
+        solver=dataclasses.replace(cfg.solver, optimizer="sgd", momentum=0.0),
+    )
+    B, V, H, W, N = 8, 4, 8, 8, 64
+    poses = np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1))
+    poses[..., :3, 3] = rng.uniform(-1, 1, (B, V, 3))
+    batch_np = {
+        "points": rng.uniform(-1, 1, (B, N, 3)).astype(np.float32),
+        "seg_label": rng.integers(0, 5, (B, N)).astype(np.int32),
+        "images": rng.uniform(size=(B, V, H, W, 3)).astype(np.float32),
+        "depth": rng.uniform(0.5, 2, (B, V, H, W)).astype(np.float32),
+        "poses": poses,
+        "intrinsics": np.tile(np.eye(3, dtype=np.float32) * 8, (B, 1, 1)),
+        "seg_label_2d": rng.integers(0, 5, (B, V, H, W)).astype(np.int32),
+    }
+    key = jax.random.key(7)
+
+    def run(model_setup, device_batch):
+        model, loss_fn, metric_fn = build_model(cfg, rngs=nnx.Rngs(0))
+        model_setup(model)
+        opt = nnx.Optimizer(model, build_optimizer(cfg.solver), wrt=nnx.Param)
+        step = make_train_step(cfg, loss_fn, metric_fn)
+        m = step(model, opt, device_batch, key)
+        return model, m
+
+    model_u, m_u = run(lambda m: m, jax.device_put(batch_np))
+
+    mesh = make_mesh(MeshConfig(data=8 // space, space=space))
+    model_s, m_s = run(
+        lambda m: install_space_fusion(m, mesh), shard_batch_sp(mesh, batch_np)
+    )
+
+    np.testing.assert_allclose(float(m_s["loss"]), float(m_u["loss"]), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(m_s["accuracy"]), float(m_u["accuracy"]), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_s["confusion"]), np.asarray(m_u["confusion"])
+    )
+    for col in (nnx.Param, nnx.BatchStat):
+        tu = jax.tree.leaves(jax.tree.map(np.asarray, nnx.state(model_u, col)))
+        ts = jax.tree.leaves(jax.tree.map(np.asarray, nnx.state(model_s, col)))
+        assert len(tu) == len(ts) and len(tu) > 0
+        for a, b in zip(tu, ts):
+            np.testing.assert_allclose(a, b, atol=3e-4, rtol=3e-3)
+
+
 @pytest.mark.parametrize("space", [2, 8])
 def test_sharded_scene_matches_single_device_oracle(devices, space):
     """The space-sharded whole-scene path (sharded 2D + ring fusion + local

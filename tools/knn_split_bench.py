@@ -1,0 +1,148 @@
+"""Config-#4 kNN cost split: host-side prep (Morton argsort + gathers) vs
+Pallas kernel time, on REALISTIC pixel clouds (scanline-ordered unprojected
+depth with invalid-pixel sentinels — what the fusion path actually feeds),
+plus the effect of skipping the ref-side sort entirely.
+
+Round-2 VERDICT next #2: config #4 (102k queries x 1.23M refs) measured
+288 ms vs a <100 ms target; this tool answers where the time goes.
+
+Run on the TPU host: python tools/knn_split_bench.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mvpnet_tpu.data.synthetic import make_scene
+from mvpnet_tpu.core.camera import unproject_views
+from mvpnet_tpu.ops.pallas import knn as pknn, knn_bucketed as pgated
+
+
+def timed(name, f, *args, iters=5):
+    out = f(*args)
+    jax.tree.map(np.asarray, out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    jax.tree.map(np.asarray, out)
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    print(f"{name}: {dt:.1f} ms", flush=True)
+    return out, dt
+
+
+def main():
+    # config #4 shapes: whole-scene fusion, 64 views x 120x160 = 1.23M refs,
+    # 102k query points
+    scene = make_scene(0, num_points=102400, num_frames=64, height=120, width=160)
+    xyz, valid = unproject_views(
+        jnp.asarray(scene.depth.astype(np.float32)),
+        jnp.asarray(scene.intrinsics.astype(np.float32)),
+        jnp.asarray(scene.poses.astype(np.float32)),
+    )
+    refs = np.asarray(xyz).reshape(1, -1, 3)  # scanline order, sentinels kept
+    q = scene.points[None].astype(np.float32)
+    print(
+        f"refs {refs.shape} valid {float(np.asarray(valid).mean()):.2f} "
+        f"queries {q.shape}",
+        flush=True,
+    )
+    qj, rj = jnp.asarray(q), jnp.asarray(refs)
+
+    k = 3
+    # full gated path (what dispatch picks at this scale)
+    (d0, i0), t_full = timed(
+        "gated full      ", jax.jit(lambda a, b: pgated.knn(a, b, k)), qj, rj
+    )
+
+    # prep alone (sorts + gathers + tile bounds + lb argsort)
+    tile_m, tile_n = pgated._TILE_M, pgated._TILE_N_BIG
+
+    @jax.jit
+    def prep(a, b):
+        return pgated._prepare(a, b, tile_m, tile_n)
+
+    _, t_prep = timed("prep alone      ", prep, qj, rj)
+
+    # unsort/gather-back epilogue estimate = full - prep - kernel; get kernel
+    # alone by running the forward on pre-sorted inputs with prep hoisted
+    prepped = jax.tree.map(jnp.asarray, prep(qj, rj))
+
+    def kernel_only(q_sorted, rT, order, lb):
+        import functools
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        B, M_pad, _ = q_sorted.shape
+        nt = rT.shape[-1] // tile_n
+        grid = (B, M_pad // tile_m, nt)
+        kernel = functools.partial(
+            pgated._gated_kernel, k=k, tile_n=tile_n, sub_gate=True
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, tile_m, 3),
+                    lambda b, im, t, order, lb: (b, im, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 3, tile_n),
+                    lambda b, im, t, order, lb: (b, 0, order[b, im, t]),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, tile_m, k),
+                    lambda b, im, t, order, lb: (b, im, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, tile_m, k),
+                    lambda b, im, t, order, lb: (b, im, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_m, k), jnp.float32),
+                pltpu.VMEM((tile_m, k), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, M_pad, k), jnp.float32),
+                jax.ShapeDtypeStruct((B, M_pad, k), jnp.int32),
+            ],
+        )(order, lb, q_sorted, rT)
+
+    q_sorted, r_sorted, q_order, r_order, order, lb_sorted, M_pad, N_pad = prepped
+    rT = jnp.swapaxes(r_sorted, 1, 2)
+    _, t_kernel = timed(
+        "kernel alone    ", jax.jit(kernel_only), q_sorted, rT, order, lb_sorted
+    )
+
+    # brute baseline for reference
+    _, t_brute = timed(
+        "brute           ", jax.jit(lambda a, b: pknn.knn(a, b, k)), qj, rj, iters=2
+    )
+
+    print(
+        f"\nsplit: full={t_full:.0f} prep={t_prep:.0f} kernel={t_kernel:.0f} "
+        f"epilogue~={t_full - t_prep - t_kernel:.0f} brute={t_brute:.0f}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,10 +28,94 @@ from flax import nnx
 V5E_PEAK_FLOPS = 394e12  # bf16 per chip
 
 
+def _timed(fn, *args, iters=10):
+    out = fn(*args)
+    jax.tree.map(np.asarray, out)  # materialize (axon block_until_ready lies)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.tree.map(np.asarray, out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def breakdown(cfg, model, batch, key, loss_fn):
+    """Per-segment step times: prepare / 2D net / fusion kNN / 3D net,
+    forward and fwd+bwd — what the aggregate MFU number hides."""
+    from flax import nnx
+    from mvpnet_tpu import ops
+    from mvpnet_tpu.train.step import prepare_batch
+
+    graphdef, state = nnx.split(model)
+    k = cfg.model.aggregation.k
+
+    prep = jax.jit(lambda b, kk: prepare_batch(cfg, b, training=True, rng_key=kk))
+    mb = prep(batch, key)
+
+    def net2d(state, images):
+        m = nnx.merge(graphdef, state)
+        B, V, H, W, _ = images.shape
+        return m.net_2d(images.reshape(B * V, H, W, 3))
+
+    def pixels(state, mb):
+        feat2d, _ = net2d(state, mb["images"])
+        B, V, H, W, _ = mb["images"].shape
+        return (
+            feat2d.reshape(B, V * H * W, -1),
+            mb["image_xyz"].reshape(B, V * H * W, 3),
+        )
+
+    pixel_feat, pixel_xyz = jax.jit(pixels)(state, mb)
+
+    def fusion_knn(pts, pxyz):
+        return ops.knn(pts, pxyz, k)
+
+    def gather_agg(state, pts, pxyz, pfeat):
+        m = nnx.merge(graphdef, state)
+        _, idx = ops.knn(pts, pxyz, k)
+        gf = ops.group_points(pfeat, idx)
+        gx = ops.group_points(pxyz, idx)
+        return m.aggregation(pts, gx, gf)
+
+    fused = jax.jit(gather_agg)(state, mb["points"], pixel_xyz, pixel_feat)
+
+    def net3d(state, pts, fused):
+        m = nnx.merge(graphdef, state)
+        return m.net_3d(pts, fused)
+
+    def full_fwd(state, mb):
+        m = nnx.merge(graphdef, state)
+        return m(mb)[0]
+
+    # fwd+bwd via the same nnx transform stack as the real train step (BN
+    # stat mutation + grad w.r.t. Params only)
+    @nnx.jit
+    def grad_fn(model, mb):
+        def loss(m):
+            return loss_fn(m(mb), mb)
+
+        return nnx.value_and_grad(loss)(model)[0]
+
+    out = {}
+
+    def add(name, fn, *a):
+        out[name] = round(_timed(fn, *a), 2)
+        print(f"{name}: {out[name]}", file=sys.stderr, flush=True)
+
+    add("prepare_ms", prep, batch, key)
+    add("net2d_fwd_ms", jax.jit(net2d), state, mb["images"])
+    add("fusion_knn_ms", jax.jit(fusion_knn), mb["points"], pixel_xyz)
+    add("agg_ms", jax.jit(gather_agg), state, mb["points"], pixel_xyz, pixel_feat)
+    add("net3d_fwd_ms", jax.jit(net3d), state, mb["points"], fused)
+    add("full_fwd_ms", jax.jit(full_fwd), state, mb)
+    add("full_grad_ms", grad_fn, model, mb)
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--breakdown", action="store_true")
     args = ap.parse_args(argv)
 
     from mvpnet_tpu.config import Config
@@ -53,6 +137,11 @@ def main(argv=None):
     key = jax.random.key(0)
     # warm: compile + fill the prefetch queue
     batch = next(it)
+    if args.breakdown:
+        bd = breakdown(cfg, model, batch, key, loss_fn)
+        it.close()
+        print(json.dumps({"batch_size": args.batch_size, **bd}))
+        return
     m = train_step(model, optimizer, batch, key)
     _ = np.asarray(m["loss"])
 
