@@ -26,9 +26,12 @@ import numpy as np
 
 CHUNKS_PER_SCENE = 25
 B, N, V, H, W = 4, 8192, 5, 120, 160
+B_TRAIN, V_TRAIN = 8, 3  # config #2 training shapes (BASELINE.json)
 ORACLE_ITERS = 5  # real-op torch baseline (VERDICT r1 item 4: >=5)
 STANDIN_ITERS = 3  # shape-only legacy baseline, kept for the ratio history
 JAX_ITERS = 20
+TRAIN_ITERS = 10
+TRAIN_ORACLE_ITERS = 2  # torch-CPU fwd+bwd is minutes/iter at these shapes
 
 
 def build_batch(rng):
@@ -86,6 +89,85 @@ def bench_ours():
     _ = np.asarray(out)
     dt = (time.perf_counter() - t0) / JAX_ITERS
     return B / dt, model, cfg
+
+
+def bench_ours_train(model, cfg) -> float:
+    """Fwd+bwd+update throughput (chunks/s) of the real jitted train step at
+    config-#2 training shapes — training is the dominant workload (round-2
+    VERDICT weak #2: the bench measured inference only)."""
+    import jax
+    from flax import nnx
+
+    from mvpnet_tpu.models import build_model
+    from mvpnet_tpu.train.solver import build_optimizer
+    from mvpnet_tpu.train.step import make_train_step
+
+    model_t, loss_fn, metric_fn = build_model(cfg, rngs=nnx.Rngs(0))
+    optimizer = nnx.Optimizer(model_t, build_optimizer(cfg.solver), wrt=nnx.Param)
+    import dataclasses
+
+    cfg_nod = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, donate=False)
+    )
+    step = make_train_step(cfg_nod, loss_fn, metric_fn)
+
+    from __graft_entry__ import _example_batch
+
+    rng = np.random.default_rng(0)
+    batch = jax.device_put(
+        _example_batch(rng, B=B_TRAIN, N=N, V=V_TRAIN, H=H, W=W)
+    )
+    key = jax.random.key(0)
+    _ = np.asarray(step(model_t, optimizer, batch, key)["loss"])  # compile
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_ITERS):
+        m = step(model_t, optimizer, batch, key)
+    _ = np.asarray(m["loss"])
+    dt = (time.perf_counter() - t0) / TRAIN_ITERS
+    return B_TRAIN / dt
+
+
+def bench_torch_train(model, cfg) -> float:
+    """Torch-CPU fwd+bwd baseline on the oracle net at the same train shapes
+    (CPU lift + per-chunk KDTree kNN inside the timed loop, as the reference
+    does in DataLoader workers §3.4)."""
+    import torch
+
+    from tests.oracle_torch import TorchMVPNet3D
+
+    torch.set_num_threads(max(torch.get_num_threads(), 8))
+    net = TorchMVPNet3D(model).train()
+
+    from __graft_entry__ import _example_batch
+
+    rng = np.random.default_rng(0)
+    raw = _example_batch(rng, B=B_TRAIN, N=N, V=V_TRAIN, H=H, W=W)
+    images = torch.from_numpy(raw["images"])
+    points = torch.from_numpy(raw["points"])
+    labels = torch.from_numpy(raw["seg_label"]).long()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3)
+
+    def run():
+        image_xyz = unproject_np(raw["depth"], raw["intrinsics"], raw["poses"])
+        batch = {
+            "points": points,
+            "images": images,
+            "image_xyz": torch.from_numpy(image_xyz),
+        }
+        logits, _ = net(batch)
+        loss = torch.nn.functional.cross_entropy(
+            logits.reshape(-1, logits.shape[-1]), labels.reshape(-1)
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    run()  # warm
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_ORACLE_ITERS):
+        run()
+    dt = (time.perf_counter() - t0) / TRAIN_ORACLE_ITERS
+    return B_TRAIN / dt
 
 
 def bench_torch_oracle(model, cfg) -> float:
@@ -280,10 +362,20 @@ def bench_torch_standin() -> float:
 def main():
     ours, model, cfg = bench_ours()
     try:
+        train_ours = bench_ours_train(model, cfg)
+    except Exception as e:
+        print(f"train-step measurement failed: {e}", file=sys.stderr)
+        train_ours = float("nan")
+    try:
         base = bench_torch_oracle(model, cfg)
     except Exception as e:  # baseline failure must not kill the bench
         print(f"oracle baseline measurement failed: {e}", file=sys.stderr)
         base = float("nan")
+    try:
+        train_base = bench_torch_train(model, cfg)
+    except Exception as e:
+        print(f"torch train baseline failed: {e}", file=sys.stderr)
+        train_base = float("nan")
     try:
         standin = bench_torch_standin()
     except Exception as e:
@@ -303,6 +395,16 @@ def main():
         file=sys.stderr,
     )
     print(
+        f"train: ours {train_ours:.2f} chunks/s fwd+bwd+update; "
+        f"torch-cpu oracle {train_base:.2f} chunks/s",
+        file=sys.stderr,
+    )
+    train_vs = (
+        round(train_ours / train_base, 2)
+        if np.isfinite(train_ours) and np.isfinite(train_base) and train_base > 0
+        else None
+    )
+    print(
         json.dumps(
             {
                 "metric": "scenes/sec/chip (8192-pt chunks, 5 views, 25 chunks/scene)",
@@ -310,6 +412,16 @@ def main():
                 "unit": "scenes/s",
                 "vs_baseline": round(vs, 2) if vs else None,
                 "vs_baseline_standin": vs_standin,
+                "train_chunks_per_sec": (
+                    round(train_ours, 2) if np.isfinite(train_ours) else None
+                ),
+                "train_vs_baseline": train_vs,
+                # vs_baseline caveat (round-2 VERDICT weak #3): the baseline
+                # is the reference's network in torch on THIS machine's CPU
+                # (8 threads) — the reference's GPU is not present; the
+                # >=5x/chip BASELINE target is against that GPU, which this
+                # ratio upper-bounds loosely.
+                "baseline_hw": "torch-CPU 8 threads (reference GPU absent)",
             }
         )
     )

@@ -139,6 +139,11 @@ class DataConfig:
     # ship images as uint8 / depth as uint16 mm across the host->device
     # boundary and convert inside the jitted step (4x less H2D traffic)
     compact_transfer: bool = True
+    # pack the whole batch into one byte buffer per transfer: one device_put
+    # + one jitted unpack instead of a per-array RPC (data/pipeline.py)
+    packed_transfer: bool = True
+    # ship per-point RGB in chunk batches (xyz+RGB ablation models only)
+    include_colors: bool = False
     # scenes kept resident by the lazy scene store (scannet datasets stream
     # per-scene npz files on demand; data/scannet.SceneStore)
     cache_scenes: int = 32
@@ -182,8 +187,11 @@ class TrainConfig:
     ckpt_every: int = 1000
     ckpt_keep: int = 5
     seed: int = 0
-    # donate params/opt-state buffers in the jitted step
-    donate: bool = True
+    # donate params/opt-state buffers in the jitted step. Default OFF: on
+    # the tunneled v5e, donation measured 45 ms/step SLOWER at config-#2
+    # shapes (157.3 vs 111.8 ms, tools/step_gap.py — docs/PERF_NOTES.md
+    # round 3); enable for memory-bound configs (32k-pt chunks, 64-view).
+    donate: bool = False
     remat: bool = False  # jax.checkpoint the 2D net to trade FLOPs for HBM
     # capture a jax.profiler trace for steps [profile_start, profile_stop)
     # into <output_dir>/profile; 0/0 disables

@@ -71,11 +71,13 @@ class FrameDataset:
         scene = self.scenes[si]
         if self.cfg.compact_transfer:
             image = np.clip(scene.rgb[fi] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            label = scene.label_2d[fi].astype(np.int8)  # ids <128, -100 fits
         else:
             image = scene.rgb[fi].astype(np.float32)
+            label = scene.label_2d[fi].astype(np.int32)
         return {
             "images": image,
-            "seg_label_2d": scene.label_2d[fi].astype(np.int32),
+            "seg_label_2d": label,
         }
 
     def sample(self, rng: np.random.Generator | None = None) -> dict:

@@ -116,23 +116,36 @@ def make_chunk_sample(
     )
 
     if cfg.compact_transfer:
-        # quantized wire format; prepare_batch dequantizes on device
+        # quantized wire format; prepare_batch dequantizes on device:
+        # rgb -> uint8, depth -> uint16 mm, points -> int16 mm (±32.7 m
+        # range, 0.5 mm quantization — below sensor noise), labels -> int8
+        # (class ids < 128; ignore_label=-100 fits). On the tunneled TPU
+        # host link (~38 MB/s measured) batch bytes are the step-time floor
+        # (docs/PERF_NOTES.md round 3).
         images = np.clip(scene.rgb[frames] * 255.0 + 0.5, 0, 255).astype(np.uint8)
         depth = np.clip(scene.depth[frames] * 1000.0 + 0.5, 0, 65535).astype(
             np.uint16
         )
+        points = np.clip(
+            np.round(chunk_pts * 1000.0), -32767, 32767
+        ).astype(np.int16)
+        seg_label = scene.labels[sel].astype(np.int8)
+        seg_label_2d = scene.label_2d[frames].astype(np.int8)
     else:
         images = scene.rgb[frames].astype(np.float32)
         depth = scene.depth[frames].astype(np.float32)
+        points = chunk_pts.astype(np.float32)
+        seg_label = scene.labels[sel].astype(np.int32)
+        seg_label_2d = scene.label_2d[frames].astype(np.int32)
     return {
-        "points": chunk_pts.astype(np.float32),
+        "points": points,
         "colors": scene.colors[sel].astype(np.float32),
-        "seg_label": scene.labels[sel].astype(np.int32),
+        "seg_label": seg_label,
         "images": images,
         "depth": depth,
         "poses": scene.poses[frames].astype(np.float32),
         "intrinsics": scene.intrinsics.astype(np.float32),
-        "seg_label_2d": scene.label_2d[frames].astype(np.int32),
+        "seg_label_2d": seg_label_2d,
         "point_idx": sel.astype(np.int64),
     }
 
@@ -172,9 +185,14 @@ class ChunkDataset:
             if self.training
             else self.cfg.num_views_eval
         )
-        return make_chunk_sample(
-            scene, self.cfg, num_views=V, rng=rng
-        )
+        s = make_chunk_sample(scene, self.cfg, num_views=V, rng=rng)
+        # train/val chunk batches never consume these on device; shipping
+        # them cost ~1.3 MB/batch of the ~38 MB/s host link (point colors
+        # are an ablation input, point_idx is a host-side eval artifact)
+        s.pop("point_idx", None)
+        if not self.cfg.include_colors:
+            s.pop("colors", None)
+        return s
 
     def __iter__(self) -> Iterator[dict]:
         while True:
@@ -201,6 +219,71 @@ class _WorkerError:
 
 
 _END = object()  # sentinel: a producer's stream is exhausted
+
+
+def _pack_batch(batch: dict):
+    """Concatenate every array's raw bytes into ONE uint8 vector + a static
+    layout. One device_put + one jitted unpack replaces a per-array RPC
+    round-trip each — on the tunneled TPU platform per-array puts measured
+    ~170 ms/step at config-#2 shapes (docs/PERF_NOTES.md round 3)."""
+    layout = []
+    parts = []
+    off = 0
+    for k in sorted(batch):
+        v = batch[k]
+        if not isinstance(v, np.ndarray):
+            layout.append((k, None, v, 0, 0))
+            continue
+        # mirror device_put's x64-disabled canonicalization so the on-device
+        # dtypes match the unpacked path
+        if v.dtype == np.int64:
+            v = v.astype(np.int32)
+        elif v.dtype == np.uint64:
+            v = v.astype(np.uint32)
+        elif v.dtype == np.float64:
+            v = v.astype(np.float32)
+        v = np.ascontiguousarray(v)
+        raw = v.reshape(-1).view(np.uint8)
+        pad = (-off) % 8
+        if pad:
+            parts.append(np.zeros(pad, np.uint8))
+            off += pad
+        layout.append((k, v.dtype.str, v.shape, off, raw.size))
+        parts.append(raw)
+        off += raw.size
+    return np.concatenate(parts) if parts else np.zeros(0, np.uint8), tuple(layout)
+
+
+_unpack_cache: dict = {}
+
+
+def _unpack_fn(layout):
+    """Jitted device-side unpack for one packed-batch layout (cached)."""
+    if layout in _unpack_cache:
+        return _unpack_cache[layout]
+
+    def unpack(packed):
+        out = {}
+        for k, dstr, shape, off, size in layout:
+            if dstr is None:  # non-array passthrough (stored in `shape`)
+                out[k] = shape
+                continue
+            dt = np.dtype(dstr)
+            raw = jax.lax.dynamic_slice(packed, (off,), (size,))
+            if dt.itemsize > 1:
+                arr = jax.lax.bitcast_convert_type(
+                    raw.reshape(-1, dt.itemsize), dt
+                )
+            elif dt != np.uint8:  # same-width reinterpret (int8: keep -100)
+                arr = jax.lax.bitcast_convert_type(raw, dt)
+            else:
+                arr = raw
+            out[k] = arr.reshape(shape)
+        return out
+
+    fn = jax.jit(unpack)
+    _unpack_cache[layout] = fn
+    return fn
 
 
 class PrefetchIterator:
@@ -231,10 +314,13 @@ class PrefetchIterator:
         num_threads: int = 4,
         device=None,
         put_fn=None,
+        pack: bool = False,
     ):
         self._queue: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
         self._device = device
         self._put_fn = put_fn
+        self._pack = pack and put_fn is None  # mesh mode shards per array
+        self._ready = None  # transfer-ahead slot (see __next__)
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self._iterator = None
@@ -279,19 +365,45 @@ class PrefetchIterator:
     def __iter__(self):
         return self
 
+    def _transfer(self, item):
+        if item is _END or isinstance(item, _WorkerError):
+            return item
+        if self._put_fn is not None:
+            # mesh mode: assemble a globally-sharded batch (dist/bootstrap.py)
+            return self._put_fn(item)
+        if self._pack and isinstance(item, dict):
+            packed, layout = _pack_batch(item)
+            dev = (
+                jax.device_put(packed, self._device)
+                if self._device is not None
+                else jax.device_put(packed)
+            )
+            return _unpack_fn(layout)(dev)
+        if self._device is not None:
+            return jax.device_put(item, self._device)
+        return jax.device_put(item)
+
     def __next__(self):
-        item = self._queue.get()
+        if self._ready is not None:
+            item = self._ready
+            self._ready = None
+        else:
+            item = self._transfer(self._queue.get())
         if item is _END:
             raise StopIteration
         if isinstance(item, _WorkerError):
             self.close()
             raise RuntimeError("prefetch worker failed") from item.exc
-        if self._put_fn is not None:
-            # mesh mode: assemble a globally-sharded batch (dist/bootstrap.py)
-            return self._put_fn(item)
-        if self._device is not None:
-            return jax.device_put(item, self._device)
-        return jax.device_put(item)
+        # transfer-ahead: issue the NEXT batch's device_put now, before the
+        # caller dispatches its step on the current one, so the H2D copy
+        # overlaps that step's device compute. Putting at consume time
+        # serialized the copy into every step (~170 ms/step of tunnel H2D at
+        # config-#2 shapes — docs/PERF_NOTES.md round-3 step profile).
+        try:
+            self._ready = self._transfer(self._queue.get_nowait())
+        except queue.Empty:
+            pass
+        return item
 
     def close(self):
         self._stop.set()

@@ -120,7 +120,10 @@ class MVPNet3D(nnx.Module):
                 mesh, points, pixel_xyz, pixel_feat, self.cfg.aggregation.k
             )
         else:
-            _, knn_idx = ops.knn(points, pixel_xyz, self.cfg.aggregation.k)
+            # pixel clouds are scanline-ordered -> spatially coherent tiles
+            _, knn_idx = ops.knn(
+                points, pixel_xyz, self.cfg.aggregation.k, refs_coherent=True
+            )
             grouped_feat = ops.group_points(pixel_feat, knn_idx)  # (B,N,K,C2d)
             grouped_xyz = ops.group_points(pixel_xyz, knn_idx)  # (B,N,K,3)
 

@@ -46,8 +46,20 @@ def _use_pallas(impl: str | None) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def knn(queries, refs, k: int, ref_mask=None, impl: str | None = None):
-    """k nearest neighbors; see reference.knn for contract."""
+def knn(
+    queries,
+    refs,
+    k: int,
+    ref_mask=None,
+    impl: str | None = None,
+    refs_coherent: bool = False,
+):
+    """k nearest neighbors; see reference.knn for contract.
+
+    ``refs_coherent=True`` tells the gated kernel the refs are already
+    spatially coherent in memory order (scanline pixel clouds): it skips
+    its ref-side Morton sort/gather — a speed hint only, results identical.
+    """
     if _use_pallas(impl):
         from mvpnet_tpu.ops.pallas import knn as pallas_knn
         from mvpnet_tpu.ops.pallas import knn_bucketed as pallas_knn_gated
@@ -56,7 +68,9 @@ def knn(queries, refs, k: int, ref_mask=None, impl: str | None = None):
         # program-level bound-gated kernel skips most tile work at one
         # scalar branch per tile (see ops/pallas/knn_bucketed.py)
         if pallas_knn_gated.supported(queries, refs, k):
-            return pallas_knn_gated.knn(queries, refs, k, ref_mask=ref_mask)
+            return pallas_knn_gated.knn(
+                queries, refs, k, ref_mask=ref_mask, refs_coherent=refs_coherent
+            )
         if pallas_knn.supported(queries, refs, k):
             return pallas_knn.knn(queries, refs, k, ref_mask=ref_mask)
     return _ref.knn(queries, refs, k, ref_mask=ref_mask)

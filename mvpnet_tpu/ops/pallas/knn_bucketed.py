@@ -67,6 +67,10 @@ _PAD_COORD = 3e9
 
 
 _MIN_N = 1 << 15  # below this the sorting prep is a wash vs the brute kernel
+# coords at/above this magnitude are sentinels (invalid-pixel fill 1e6,
+# masked-ref 1e9, tile pad 3e9) and are excluded from AABB bounds — they
+# remain in the distance pass (just far away), so results are unchanged
+_SENTINEL_MIN = 1e5
 
 
 def supported(queries, refs, k: int) -> bool:
@@ -100,10 +104,17 @@ def _morton_code(xyz, lo, hi):
 
 
 def _tile_bounds(sorted_xyz, tile):
-    """(B, N, 3) -> per-tile AABB (B, N//tile, 3) lo / hi."""
+    """(B, N, 3) -> per-tile AABB (B, N//tile, 3) lo / hi over REAL points.
+
+    Sentinel coords (invalid pixels / padding) are excluded so a tile's box
+    reflects its real geometry; an all-sentinel tile gets (+inf, -inf)
+    bounds -> infinite lower bound -> visited last and skipped."""
     B, N, _ = sorted_xyz.shape
     t = sorted_xyz.reshape(B, N // tile, tile, 3)
-    return jnp.min(t, axis=2), jnp.max(t, axis=2)
+    real = jnp.all(jnp.abs(t) < _SENTINEL_MIN, axis=-1, keepdims=True)
+    lo = jnp.min(jnp.where(real, t, jnp.inf), axis=2)
+    hi = jnp.max(jnp.where(real, t, -jnp.inf), axis=2)
+    return lo, hi
 
 
 def _box_sqdist(alo, ahi, blo, bhi):
@@ -174,8 +185,12 @@ def _gated_kernel(
 
         # big-N body: per-8-row subgroup gating (amortized by TN=8192 tiles)
         n_sub = tm // _SUB
-        rlo = jnp.min(r, axis=1)  # (3,)
-        rhi = jnp.max(r, axis=1)  # (3,)
+        # bounds over REAL refs only (sentinels stay in the distance pass
+        # but must not inflate the box, or natural-order tiles containing
+        # any invalid pixel would never be skipped)
+        r_real = jnp.all(jnp.abs(r) < _SENTINEL_MIN, axis=0, keepdims=True)
+        rlo = jnp.min(jnp.where(r_real, r, jnp.inf), axis=1)  # (3,)
+        rhi = jnp.max(jnp.where(r_real, r, -jnp.inf), axis=1)  # (3,)
         qg = q.reshape(n_sub, _SUB, 3)
         glo = jnp.min(qg, axis=1)  # (n_sub, 3)
         ghi = jnp.max(qg, axis=1)  # (n_sub, 3)
@@ -210,8 +225,17 @@ def _gated_kernel(
         i_out[0] = best_i[:]
 
 
-def _prepare(queries, refs, tile_m, tile_n):
-    """Morton-sort both sides, pad to tiles, rank ref tiles per query tile."""
+def _prepare(queries, refs, tile_m, tile_n, sort_refs=True):
+    """Morton-sort the queries (and refs unless ``sort_refs=False``), pad to
+    tiles, rank ref tiles per query tile.
+
+    ``sort_refs=False`` is the NATURAL-ORDER mode for refs that are already
+    spatially coherent in memory — unprojected pixel clouds in scanline
+    order, where a tile of consecutive pixels is a compact image slab. It
+    skips the ref-side argsort + 3N-element gather (the dominant prep cost
+    at config-#4 scale, ~1.23M refs) and the index un-mapping; tile AABBs
+    are computed over real (non-sentinel) coords only, so invalid-depth
+    pixels scattered through the scanlines don't inflate the bounds."""
     B, M, _ = queries.shape
     N = refs.shape[1]
     q = queries.astype(jnp.float32)
@@ -223,9 +247,13 @@ def _prepare(queries, refs, tile_m, tile_n):
     hi = jnp.max(q, axis=1, keepdims=True)
 
     q_order = jnp.argsort(_morton_code(q, lo, hi), axis=1).astype(jnp.int32)
-    r_order = jnp.argsort(_morton_code(r, lo, hi), axis=1).astype(jnp.int32)
     q_sorted = jnp.take_along_axis(q, q_order[..., None], axis=1)
-    r_sorted = jnp.take_along_axis(r, r_order[..., None], axis=1)
+    if sort_refs:
+        r_order = jnp.argsort(_morton_code(r, lo, hi), axis=1).astype(jnp.int32)
+        r_sorted = jnp.take_along_axis(r, r_order[..., None], axis=1)
+    else:
+        r_order = None
+        r_sorted = r
 
     M_pad = pl.cdiv(M, tile_m) * tile_m
     N_pad = pl.cdiv(N, tile_n) * tile_n
@@ -246,7 +274,10 @@ def _prepare(queries, refs, tile_m, tile_n):
     return q_sorted, r_sorted, q_order, r_order, order, lb_sorted, M_pad, N_pad
 
 
-def _knn_forward(queries, refs, k: int, *, tile_m=None, tile_n=None, sub_gate=None):
+def _knn_forward(
+    queries, refs, k: int, *, tile_m=None, tile_n=None, sub_gate=None,
+    sort_refs=True,
+):
     """tile_m/tile_n/sub_gate default to the measured dispatch policy; the
     overrides exist for tools/knn_gate_bench.py parameter sweeps."""
     B, M, _ = queries.shape
@@ -259,7 +290,7 @@ def _knn_forward(queries, refs, k: int, *, tile_m=None, tile_n=None, sub_gate=No
         sub_gate = big
 
     q_sorted, r_sorted, q_order, r_order, order, lb_sorted, M_pad, N_pad = _prepare(
-        queries, refs, tile_m, tile_n
+        queries, refs, tile_m, tile_n, sort_refs=sort_refs
     )
     nt = N_pad // tile_n
     rT = jnp.swapaxes(r_sorted, 1, 2)  # (B, 3, N_pad)
@@ -308,11 +339,15 @@ def _knn_forward(queries, refs, k: int, *, tile_m=None, tile_n=None, sub_gate=No
     )(order, lb_sorted, q_sorted, rT)
 
     d_s, i_s = d_s[:, :M], i_s[:, :M]
-    # sorted-ref index -> original ref index (padding columns can only win in
-    # degenerate <k-valid-ref cases; the clamp keeps the gather in range)
-    i_orig = jnp.take_along_axis(
-        r_order, jnp.clip(i_s, 0, N - 1).reshape(B, -1), axis=1
-    ).reshape(B, M, k)
+    if r_order is None:  # natural-order refs: kernel indices ARE original
+        i_orig = jnp.clip(i_s, 0, N - 1)
+    else:
+        # sorted-ref index -> original ref index (padding columns can only
+        # win in degenerate <k-valid-ref cases; the clamp keeps the gather
+        # in range)
+        i_orig = jnp.take_along_axis(
+            r_order, jnp.clip(i_s, 0, N - 1).reshape(B, -1), axis=1
+        ).reshape(B, M, k)
     # unsort the queries
     inv = jnp.argsort(q_order, axis=1)
     d = jnp.take_along_axis(d_s, inv[..., None], axis=1)
@@ -320,23 +355,32 @@ def _knn_forward(queries, refs, k: int, *, tile_m=None, tile_n=None, sub_gate=No
     return d, i
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def knn_gated(queries, refs, k: int):
-    return _knn_forward(queries, refs, k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def knn_gated(queries, refs, k: int, sort_refs: bool = True):
+    return _knn_forward(queries, refs, k, sort_refs=sort_refs)
 
 
-def _fwd(queries, refs, k):
-    d, i = _knn_forward(queries, refs, k)
+def _fwd(queries, refs, k, sort_refs):
+    d, i = _knn_forward(queries, refs, k, sort_refs=sort_refs)
     return (d, i), (queries, refs, i)
+
+
+def _bwd(k, sort_refs, residuals, cotangents):
+    return _knn_bwd(k, residuals, cotangents)
 
 
 # backward is pure index math on original-space indices — identical to the
 # brute kernel's analytic VJP
-knn_gated.defvjp(_fwd, _knn_bwd)
+knn_gated.defvjp(_fwd, _bwd)
 
 
-def knn(queries, refs, k: int, ref_mask=None):
-    """Gated Pallas kNN with the reference contract (ops.reference.knn)."""
+def knn(queries, refs, k: int, ref_mask=None, refs_coherent: bool = False):
+    """Gated Pallas kNN with the reference contract (ops.reference.knn).
+
+    ``refs_coherent=True``: the caller asserts refs are already spatially
+    coherent in memory order (scanline pixel clouds) — skip the ref-side
+    Morton sort (exactness unaffected; only the tile bounds' quality, and
+    hence speed, depends on coherence)."""
     if ref_mask is not None:
         refs = jnp.where(ref_mask[..., None], refs, jnp.asarray(1e9, refs.dtype))
-    return knn_gated(queries, refs, k)
+    return knn_gated(queries, refs, k, not refs_coherent)

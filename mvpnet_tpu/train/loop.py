@@ -148,8 +148,12 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
         prefetch=cfg.data.prefetch,
         num_threads=cfg.data.num_workers,
         put_fn=put_fn,
+        pack=cfg.data.packed_transfer,
     )
-    val_iter = PrefetchIterator(val_ds, prefetch=1, num_threads=2, put_fn=put_fn)
+    val_iter = PrefetchIterator(
+        val_ds, prefetch=1, num_threads=2, put_fn=put_fn,
+        pack=cfg.data.packed_transfer,
+    )
 
     key = jax.random.key(cfg.train.seed)
     meters = MetricLogger()

@@ -27,6 +27,8 @@ def prepare_frame_batch(cfg: Config, batch: dict, *, training: bool, rng_key=Non
     if images.dtype == jnp.uint8:
         images = images.astype(jnp.float32) / 255.0
     label = batch["seg_label_2d"]
+    if label.dtype == jnp.int8:
+        label = label.astype(jnp.int32)
     if training and cfg.data.augment and rng_key is not None:
         keys = jax.random.split(rng_key, images.shape[0])
         images, label = jax.vmap(
@@ -59,6 +61,12 @@ def prepare_batch(cfg: Config, batch: dict, *, training: bool, rng_key=None) -> 
         images = images.astype(jnp.float32) / 255.0
     if depth.dtype == jnp.uint16:
         depth = depth.astype(jnp.float32) / 1000.0
+    batch = dict(batch)
+    if batch["points"].dtype == jnp.int16:  # int16 millimeters
+        batch["points"] = batch["points"].astype(jnp.float32) / 1000.0
+    for k in ("seg_label", "seg_label_2d"):
+        if k in batch and batch[k].dtype == jnp.int8:
+            batch[k] = batch[k].astype(jnp.int32)
     B = depth.shape[0]
     intr = batch["intrinsics"][:, None]  # (B,1,3,3) broadcast over V
     image_xyz, valid = unproject_views(

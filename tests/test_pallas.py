@@ -145,6 +145,25 @@ def test_gated_knn_duplicate_points(rng, small_gated_tiles):
     ), "duplicate index in one query's neighbor list"
 
 
+def test_gated_knn_natural_order_refs(rng, small_gated_tiles):
+    """sort_refs=False (refs_coherent hint) must return the same neighbor
+    sets as the reference — including refs with sentinel coords (invalid
+    pixels) scattered through the order, which exercise the masked AABBs."""
+    q = jnp.asarray(_rand_points(rng, 2, 96))
+    r_np = _rand_points(rng, 2, 700)
+    r_np[:, ::7] = 1e6  # scattered invalid-pixel sentinels
+    r = jnp.asarray(r_np)
+    d_want, i_want = ref.knn(q, r, 3)
+    with pltpu.force_tpu_interpret_mode():
+        d_got, i_got = pgated.knn(q, r, 3, refs_coherent=True)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(i_got), -1), np.sort(np.asarray(i_want), -1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_got), np.asarray(d_want), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_gated_knn_surface_cloud(rng, small_gated_tiles):
     # surface-concentrated refs (the fusion pixel-cloud shape): points on a
     # few planes, where AABB pruning is weakest

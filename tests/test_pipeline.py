@@ -84,9 +84,11 @@ def test_chunk_sample_shapes(scene):
     assert s["images"].shape == (2, 24, 32, 3)
     assert s["depth"].shape == (2, 24, 32)
     assert s["poses"].shape == (2, 4, 4)
-    # chunk points stay inside the box
-    span = s["points"][:, :2].max(0) - s["points"][:, :2].min(0)
-    assert np.all(span <= cfg.chunk_size + 2 * cfg.chunk_margin + 1e-5)
+    # chunk points stay inside the box (wire format: int16 millimeters)
+    assert s["points"].dtype == np.int16
+    pts = s["points"].astype(np.float32) / 1000.0
+    span = pts[:, :2].max(0) - pts[:, :2].min(0)
+    assert np.all(span <= cfg.chunk_size + 2 * cfg.chunk_margin + 1e-3)
 
 
 def test_dataset_iteration_and_prefetch(scene):
@@ -491,3 +493,48 @@ def test_scene_store_lazy_lru(tmp_path):
     b = next(iter(fds))
     assert b["images"].shape == (2, 12, 16, 3)
     assert store.resident <= 3
+
+
+def test_packed_transfer_roundtrip(rng):
+    """Packed wire format (one device_put + jitted unpack): every array
+    dtype/shape/value survives, non-arrays pass through."""
+    import jax
+
+    from mvpnet_tpu.data.pipeline import _pack_batch, _unpack_fn
+
+    batch = {
+        "images": rng.integers(0, 255, (2, 3, 8, 8, 3)).astype(np.uint8),
+        "depth": rng.integers(0, 4000, (2, 3, 8, 8)).astype(np.uint16),
+        "points": rng.normal(size=(2, 16, 3)).astype(np.float32),
+        "seg_label": rng.integers(0, 5, (2, 16)).astype(np.int32),
+        "n_real": 2,
+    }
+    packed, layout = _pack_batch(batch)
+    assert packed.dtype == np.uint8
+    out = _unpack_fn(layout)(jax.device_put(packed))
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            got = np.asarray(out[k])
+            assert got.dtype == v.dtype
+            np.testing.assert_array_equal(got, v)
+        else:
+            assert out[k] == v
+
+
+def test_prefetch_packed_batches(scene):
+    """PrefetchIterator(pack=True) yields device dicts identical to the
+    unpacked path."""
+    from mvpnet_tpu.data.pipeline import ChunkDataset, PrefetchIterator
+
+    cfg = small_data_cfg(num_points=64)
+    ds = ChunkDataset([scene], cfg, batch_size=2, training=False, seed=5)
+    it_plain = PrefetchIterator(ds, prefetch=1, num_threads=1)
+    b_plain = next(it_plain)
+    it_plain.close()
+    ds2 = ChunkDataset([scene], cfg, batch_size=2, training=False, seed=5)
+    it_packed = PrefetchIterator(ds2, prefetch=1, num_threads=1, pack=True)
+    b_packed = next(it_packed)
+    it_packed.close()
+    assert set(b_plain) == set(b_packed)
+    for k in b_plain:
+        np.testing.assert_array_equal(np.asarray(b_plain[k]), np.asarray(b_packed[k]))

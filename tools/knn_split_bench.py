@@ -25,13 +25,19 @@ from mvpnet_tpu.core.camera import unproject_views
 from mvpnet_tpu.ops.pallas import knn as pknn, knn_bucketed as pgated
 
 
+def _sync(out):
+    """Force completion with a tiny D2H (axon block_until_ready lies, and a
+    full np.asarray would bill multi-MB outputs to the ~38 MB/s tunnel)."""
+    jax.tree.map(lambda a: np.asarray(a.reshape(-1)[:4]), out)
+
+
 def timed(name, f, *args, iters=5):
     out = f(*args)
-    jax.tree.map(np.asarray, out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
-    jax.tree.map(np.asarray, out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{name}: {dt:.1f} ms", flush=True)
     return out, dt
@@ -132,6 +138,19 @@ def main():
         "kernel alone    ", jax.jit(kernel_only), q_sorted, rT, order, lb_sorted
     )
 
+    # natural-order refs (skip ref Morton sort; scanline coherence)
+    (d1, i1), t_nat = timed(
+        "gated natural   ",
+        jax.jit(lambda a, b: pgated.knn(a, b, k, refs_coherent=True)),
+        qj,
+        rj,
+    )
+    same = float(
+        np.mean(np.sort(np.asarray(i1), -1) == np.sort(np.asarray(i0), -1))
+    )
+    derr = float(np.abs(np.asarray(d1) - np.asarray(d0)).max())
+    print(f"natural vs sorted parity: idx {same:.4f}, max d err {derr:.2e}")
+
     # brute baseline for reference
     _, t_brute = timed(
         "brute           ", jax.jit(lambda a, b: pknn.knn(a, b, k)), qj, rj, iters=2
@@ -139,7 +158,8 @@ def main():
 
     print(
         f"\nsplit: full={t_full:.0f} prep={t_prep:.0f} kernel={t_kernel:.0f} "
-        f"epilogue~={t_full - t_prep - t_kernel:.0f} brute={t_brute:.0f}",
+        f"epilogue~={t_full - t_prep - t_kernel:.0f} natural={t_nat:.0f} "
+        f"brute={t_brute:.0f}",
         flush=True,
     )
 

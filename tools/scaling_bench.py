@@ -75,13 +75,26 @@ def measure(n_devices: int, batch_per_device: int, tiny: bool, iters: int) -> fl
 
 
 def main():
-    import jax
-
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch-per-device", type=int, default=4)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--tiny", action="store_true", help="tiny model (CPU wiring check)")
     args = ap.parse_args()
+
+    if args.tiny:
+        # --tiny is the virtual-mesh wiring run: force the 8-device CPU
+        # backend regardless of the pinned axon platform (jax is pre-imported
+        # at interpreter startup, so env vars alone are too late — conftest
+        # pattern)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+    import jax
+
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
 
     from mvpnet_tpu.dist import bootstrap
 

@@ -132,7 +132,12 @@ def main(argv=None):
     ds = build_dataset(
         cfg.data, batch_size=args.batch_size, training=True, seed=0
     )
-    it = PrefetchIterator(ds, prefetch=cfg.data.prefetch, num_threads=cfg.data.num_workers)
+    it = PrefetchIterator(
+        ds,
+        prefetch=cfg.data.prefetch,
+        num_threads=cfg.data.num_workers,
+        pack=cfg.data.packed_transfer,
+    )
 
     key = jax.random.key(0)
     # warm: compile + fill the prefetch queue
