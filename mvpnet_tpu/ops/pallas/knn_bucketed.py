@@ -59,6 +59,11 @@ _TILE_M = 256
 _TILE_N = 2048
 _TILE_N_BIG = 8192  # larger ref tiles amortize the per-program branch cost
 _BIG_N = 1 << 18
+# demand-paged kernel tile geometry at big N: with per-(qtile,rtile) launch
+# and DMA overhead gone, smaller tiles win (round-3 sweep: 104.8 ms at
+# config #4 vs 114.7 with the grid geometry; docs/PERF_NOTES.md)
+_DEMAND_TILE_M = 128
+_DEMAND_TILE_N_BIG = 4096
 _SUB = 8  # rows per gated subgroup (one f32 sublane)
 _MAX_K = 8
 # ref padding sentinel: beyond the 1e9 masked-ref sentinel so padding never
@@ -225,6 +230,264 @@ def _gated_kernel(
         i_out[0] = best_i[:]
 
 
+def _demand_kernel(
+    q_ref, r_hbm, order_hbm, lb_hbm, d_out, i_out,
+    ref_buf, sems, best_d, best_i, order_s, lb_s, meta_sems,
+    *, k, tile_n, n_tiles, n_qtiles, sub_gate,
+):
+    """One program per QUERY tile; lb-sorted ref tiles are demand-paged.
+
+    The grid version pays a program launch + a 96KB ref-tile DMA for every
+    (qtile, rtile) pair even when the gate skips it — 60k programs at
+    config-#4 scale, the measured kernel floor (docs/PERF_NOTES.md round 3
+    tile sweep). Here the ref-tile loop lives INSIDE the kernel as a
+    ``while_loop`` with double-buffered ``make_async_copy``: it walks tiles
+    in ascending-lower-bound order and terminates the moment the next
+    bound cannot beat the running worst k-th distance — tiles past that
+    point are never launched, never DMA'd, never branched on. Work and
+    traffic are proportional to the tiles actually needed (~a handful per
+    query tile on real scenes), not to the grid.
+    """
+    b = pl.program_id(0)
+    im = pl.program_id(1)
+
+    # stage this query tile's visit order + bounds into SMEM. The arrays are
+    # (B*Mt, 1, nt_pad): far beyond SMEM as whole scalar-prefetch operands
+    # once tiles shrink, and laid out with the row index on an OUTER
+    # (untiled) dim — dynamic slicing of a tiled sublane dim is a Mosaic
+    # error; outer-dim slices are unconstrained.
+    row = b * n_qtiles + im
+    ometa = pltpu.make_async_copy(order_hbm.at[row], order_s, meta_sems.at[0])
+    lmeta = pltpu.make_async_copy(lb_hbm.at[row], lb_s, meta_sems.at[1])
+    ometa.start()
+    lmeta.start()
+
+    best_d[:] = jnp.full(best_d.shape, jnp.inf, jnp.float32)
+    best_i[:] = jnp.zeros(best_i.shape, jnp.int32)
+    q = q_ref[0]  # (TM, 4) — 4th coordinate is zero (DMA sublane alignment)
+    tm = q.shape[0]
+    ometa.wait()
+    lmeta.wait()
+
+    def start_dma(t):
+        slot = jax.lax.rem(t, 2)
+        tile = order_s[0, t]
+        pltpu.make_async_copy(
+            r_hbm.at[b, :, pl.ds(tile * tile_n, tile_n)],
+            ref_buf.at[slot],
+            sems.at[slot],
+        ).start()
+
+    def wait_dma(t):
+        slot = jax.lax.rem(t, 2)
+        tile = order_s[0, t]
+        pltpu.make_async_copy(
+            r_hbm.at[b, :, pl.ds(tile * tile_n, tile_n)],
+            ref_buf.at[slot],
+            sems.at[slot],
+        ).wait()
+
+    @pl.when(lb_s[0, 0] < jnp.inf)
+    def _first():
+        start_dma(0)
+
+    def cond(carry):
+        t, worst, _pending = carry
+        # clamp the scalar read: at t == n_tiles the select ignores it but
+        # both operands are still evaluated
+        lb_t = lb_s[0, jnp.minimum(t, n_tiles - 1)]
+        return jax.lax.select(t < n_tiles, lb_t < worst, False)
+
+    def body(carry):
+        t, worst, _pending = carry
+        # prefetch the next tile iff its bound can still matter under the
+        # CURRENT worst (worst only shrinks, so skipping here is safe).
+        # `prefetched` rides the carry so an exit right after a speculative
+        # start can drain the in-flight DMA (an unawaited DMA at kernel end
+        # is a hardware error).
+        lb_next = lb_s[0, jnp.minimum(t + 1, n_tiles - 1)]
+        prefetched = (t + 1 < n_tiles) & (lb_next < worst)
+
+        @pl.when(prefetched)
+        def _pref():
+            start_dma(t + 1)
+
+        wait_dma(t)
+        slot = jax.lax.rem(t, 2)
+        r = ref_buf[slot]  # (4, TN) — zero 4th row
+        tile_id = order_s[0, t]
+
+        if not sub_gate:
+            dx = q[:, 0:1] - r[0:1, :]
+            dy = q[:, 1:2] - r[1:2, :]
+            dz = q[:, 2:3] - r[2:3, :]
+            d2 = dx * dx + dy * dy + dz * dz  # (TM, TN)
+            col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            row_min = jnp.min(d2, axis=1)
+            improves = jnp.any(row_min < best_d[:, k - 1])
+
+            @pl.when(improves)
+            def _merge():
+                d2m = d2
+                bd, bi = best_d[:], best_i[:]
+                for _ in range(k):
+                    cand_d = jnp.min(d2m, axis=1)
+                    cand_a = jnp.argmin(d2m, axis=1).astype(jnp.int32)
+                    cand_i = cand_a + tile_id * tile_n
+                    bd, bi = _merge_candidate(bd, bi, cand_d, cand_i)
+                    d2m = jnp.where(col == cand_a[:, None], jnp.inf, d2m)
+                best_d[:] = bd
+                best_i[:] = bi
+        else:
+            n_sub = tm // _SUB
+            # bounds over 4 coords: the zero 4th row gives gap 0 everywhere,
+            # so padding never changes a lower bound
+            r_real = jnp.all(jnp.abs(r) < _SENTINEL_MIN, axis=0, keepdims=True)
+            rlo = jnp.min(jnp.where(r_real, r, jnp.inf), axis=1)  # (4,)
+            rhi = jnp.max(jnp.where(r_real, r, -jnp.inf), axis=1)
+            qg = q.reshape(n_sub, _SUB, 4)
+            glo = jnp.min(qg, axis=1)
+            ghi = jnp.max(qg, axis=1)
+            gap = jnp.maximum(
+                0.0, jnp.maximum(glo - rhi[None, :], rlo[None, :] - ghi)
+            )
+            lb_sub = jnp.sum(gap * gap, axis=1)  # (n_sub,)
+            worst_sub = jnp.max(
+                best_d[:, k - 1].reshape(n_sub, _SUB), axis=1
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, (_SUB, r.shape[1]), 1)
+            for g in range(n_sub):
+                @pl.when(lb_sub[g] < worst_sub[g])
+                def _subgroup(g=g):
+                    qs = q[g * _SUB : (g + 1) * _SUB]
+                    dx = qs[:, 0:1] - r[0:1, :]
+                    dy = qs[:, 1:2] - r[1:2, :]
+                    dz = qs[:, 2:3] - r[2:3, :]
+                    d2 = dx * dx + dy * dy + dz * dz
+                    bd = best_d[g * _SUB : (g + 1) * _SUB, :]
+                    bi = best_i[g * _SUB : (g + 1) * _SUB, :]
+                    d2m = d2
+                    for _ in range(k):
+                        cand_d = jnp.min(d2m, axis=1)
+                        cand_a = jnp.argmin(d2m, axis=1).astype(jnp.int32)
+                        cand_i = cand_a + tile_id * tile_n
+                        bd, bi = _merge_candidate(bd, bi, cand_d, cand_i)
+                        d2m = jnp.where(col == cand_a[:, None], jnp.inf, d2m)
+                    best_d[g * _SUB : (g + 1) * _SUB, :] = bd
+                    best_i[g * _SUB : (g + 1) * _SUB, :] = bi
+
+        worst = jnp.max(best_d[:, k - 1])
+        # invariant: cond(t+1) implies prefetched (worst only shrank), so a
+        # true cond always finds its tile's DMA in flight
+        return t + 1, worst, prefetched
+
+    t_fin, _worst_fin, pending = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.inf, False)
+    )
+
+    @pl.when(pending)  # loop exited right after a speculative start: drain
+    def _drain():
+        wait_dma(t_fin)
+
+    d_out[0] = best_d[:]
+    i_out[0] = best_i[:]
+
+
+def _knn_forward_demand(
+    queries, refs, k: int, *, tile_m=None, tile_n=None, sub_gate=None,
+    sort_refs=True,
+):
+    """Demand-paged gated kNN forward (see _demand_kernel)."""
+    B, M, _ = queries.shape
+    N = refs.shape[1]
+    big = N >= _BIG_N
+    tile_m = tile_m or min(
+        _DEMAND_TILE_M if big else _TILE_M, max(_SUB, M)
+    )
+    if tile_n is None:
+        tile_n = _DEMAND_TILE_N_BIG if big else _TILE_N
+    if sub_gate is None:
+        sub_gate = big
+
+    q_sorted, r_sorted, q_order, r_order, order, lb_sorted, M_pad, N_pad = _prepare(
+        queries, refs, tile_m, tile_n, sort_refs=sort_refs
+    )
+    nt = N_pad // tile_n
+    # pad the coordinate axis 3 -> 4 with zeros: Mosaic requires DMA slice
+    # sublane dims aligned to 4, and a zero coordinate changes neither
+    # distances nor bounds
+    q4 = jnp.pad(q_sorted, ((0, 0), (0, 0), (0, 1)))
+    rT4 = jnp.pad(
+        jnp.swapaxes(r_sorted, 1, 2), ((0, 0), (0, 1), (0, 0))
+    )  # (B, 4, N_pad)
+    # pad the visit lists to 128 lanes so each (nt,) row DMAs whole-row
+    # aligned into SMEM; the padded entries carry lb=+inf and are never
+    # visited (n_tiles keeps the real count)
+    nt_pad = pl.cdiv(nt, 128) * 128
+    if nt_pad > nt:
+        order = jnp.pad(order, ((0, 0), (0, 0), (0, nt_pad - nt)))
+        lb_sorted = jnp.pad(
+            lb_sorted, ((0, 0), (0, 0), (0, nt_pad - nt)),
+            constant_values=jnp.inf,
+        )
+    n_qtiles = M_pad // tile_m
+    order_rows = order.reshape(B * n_qtiles, 1, nt_pad)
+    lb_rows = lb_sorted.reshape(B * n_qtiles, 1, nt_pad)
+
+    grid = (B, M_pad // tile_m)
+    kernel = functools.partial(
+        _demand_kernel, k=k, tile_n=tile_n, n_tiles=nt, n_qtiles=n_qtiles,
+        sub_gate=sub_gate,
+    )
+    d_s, i_s = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_m, 4), lambda b, im: (b, im, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # refs
+            # explicit HBM: in VMEM, dynamic sublane slicing of the (Mt, nt)
+            # rows is tiling-restricted; HBM DMA slices are unconstrained
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # visit order
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # lb
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_m, k), lambda b, im: (b, im, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_m, k), lambda b, im: (b, im, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, tile_n), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((tile_m, k), jnp.float32),
+            pltpu.VMEM((tile_m, k), jnp.int32),
+            pltpu.SMEM((1, nt_pad), jnp.int32),
+            pltpu.SMEM((1, nt_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, M_pad, k), jnp.int32),
+        ],
+    )(q4, rT4, order_rows, lb_rows)
+
+    d_s, i_s = d_s[:, :M], i_s[:, :M]
+    if r_order is None:
+        i_orig = jnp.clip(i_s, 0, N - 1)
+    else:
+        i_orig = jnp.take_along_axis(
+            r_order, jnp.clip(i_s, 0, N - 1).reshape(B, -1), axis=1
+        ).reshape(B, M, k)
+    inv = jnp.argsort(q_order, axis=1)
+    d = jnp.take_along_axis(d_s, inv[..., None], axis=1)
+    i = jnp.take_along_axis(i_orig, inv[..., None], axis=1)
+    return d, i
+
+
 def _prepare(queries, refs, tile_m, tile_n, sort_refs=True):
     """Morton-sort the queries (and refs unless ``sort_refs=False``), pad to
     tiles, rank ref tiles per query tile.
@@ -355,13 +618,24 @@ def _knn_forward(
     return d, i
 
 
+# production forward: demand-paged (in-kernel while over lb-sorted tiles,
+# double-buffered DMA, true early exit). The grid variant (_knn_forward)
+# stays for A/B measurement (tools/knn_split_bench.py).
+_USE_DEMAND = True
+
+
+def _forward(queries, refs, k, sort_refs):
+    fwd = _knn_forward_demand if _USE_DEMAND else _knn_forward
+    return fwd(queries, refs, k, sort_refs=sort_refs)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def knn_gated(queries, refs, k: int, sort_refs: bool = True):
-    return _knn_forward(queries, refs, k, sort_refs=sort_refs)
+    return _forward(queries, refs, k, sort_refs)
 
 
 def _fwd(queries, refs, k, sort_refs):
-    d, i = _knn_forward(queries, refs, k, sort_refs=sort_refs)
+    d, i = _forward(queries, refs, k, sort_refs)
     return (d, i), (queries, refs, i)
 
 

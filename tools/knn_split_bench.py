@@ -62,9 +62,12 @@ def main():
     qj, rj = jnp.asarray(q), jnp.asarray(refs)
 
     k = 3
-    # full gated path (what dispatch picks at this scale)
+    # grid-version gated path (round-2 production kernel)
     (d0, i0), t_full = timed(
-        "gated full      ", jax.jit(lambda a, b: pgated.knn(a, b, k)), qj, rj
+        "gated grid      ",
+        jax.jit(lambda a, b: pgated._knn_forward(a, b, k)),
+        qj,
+        rj,
     )
 
     # prep alone (sorts + gathers + tile bounds + lb argsort)
@@ -138,6 +141,18 @@ def main():
         "kernel alone    ", jax.jit(kernel_only), q_sorted, rT, order, lb_sorted
     )
 
+    # demand-paged kernel (in-kernel while over lb-sorted tiles + DMA)
+    (d2, i2), t_dem = timed(
+        "gated demand    ",
+        jax.jit(lambda a, b: pgated._knn_forward_demand(a, b, k)),
+        qj,
+        rj,
+    )
+    same_d = float(
+        np.mean(np.sort(np.asarray(i2), -1) == np.sort(np.asarray(i0), -1))
+    )
+    print(f"demand vs grid parity: idx {same_d:.4f}")
+
     # natural-order refs (skip ref Morton sort; scanline coherence)
     (d1, i1), t_nat = timed(
         "gated natural   ",
@@ -157,9 +172,41 @@ def main():
     )
 
     print(
-        f"\nsplit: full={t_full:.0f} prep={t_prep:.0f} kernel={t_kernel:.0f} "
-        f"epilogue~={t_full - t_prep - t_kernel:.0f} natural={t_nat:.0f} "
-        f"brute={t_brute:.0f}",
+        f"\nsplit: grid={t_full:.0f} prep={t_prep:.0f} kernel={t_kernel:.0f} "
+        f"demand={t_dem:.0f} natural={t_nat:.0f} brute={t_brute:.0f}",
+        flush=True,
+    )
+
+    # fusion scale (train-path kernel): B4 x 8192 x 96k
+    rng = np.random.default_rng(0)
+    sc2 = make_scene(1, num_points=8192, num_frames=5, height=120, width=160)
+    xyz2, _ = unproject_views(
+        jnp.asarray(sc2.depth.astype(np.float32)),
+        jnp.asarray(sc2.intrinsics.astype(np.float32)),
+        jnp.asarray(sc2.poses.astype(np.float32)),
+    )
+    r2 = jnp.asarray(
+        np.broadcast_to(np.asarray(xyz2).reshape(1, -1, 3), (4, 96000, 3)).copy()
+    )
+    q2 = jnp.asarray(
+        np.stack([sc2.points[rng.integers(len(sc2.points), size=8192)] for _ in range(4)]).astype(
+            np.float32
+        )
+    )
+    (db, ib), t_fb = timed(
+        "fusion brute    ", jax.jit(lambda a, b: pknn.knn(a, b, k)), q2, r2
+    )
+    (dd, idd), t_fd = timed(
+        "fusion demand   ",
+        jax.jit(lambda a, b: pgated._knn_forward_demand(a, b, k, sub_gate=False)),
+        q2,
+        r2,
+    )
+    same_f = float(
+        np.mean(np.sort(np.asarray(idd), -1) == np.sort(np.asarray(ib), -1))
+    )
+    print(
+        f"fusion: brute={t_fb:.1f} demand={t_fd:.1f} parity={same_f:.4f}",
         flush=True,
     )
 

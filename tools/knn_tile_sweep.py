@@ -43,10 +43,10 @@ def main():
     k = 3
 
     d0 = i0 = None
-    for tile_m in (256, 512):
-        for tile_n in (8192, 16384, 32768):
+    import itertools
+    for tile_m, tile_n in itertools.product((128, 256), (2048, 4096, 8192)):
             f = jax.jit(
-                lambda a, b, tm=tile_m, tn=tile_n: pgated._knn_forward(
+                lambda a, b, tm=tile_m, tn=tile_n: pgated._knn_forward_demand(
                     a, b, k, tile_m=tm, tile_n=tn, sub_gate=True
                 )
             )
