@@ -51,13 +51,13 @@ def _bq_kernel(
         near_d[:] = jnp.full(near_d.shape, jnp.inf, jnp.float32)
         near_i[:] = jnp.zeros(near_i.shape, jnp.int32)
 
-    # EARLY EXIT (one scalar branch): tiles advance in column order and the
-    # contract is "first K hits in index order", so once EVERY center row has
-    # k hits, no later tile can contribute a slot < k — skip its entire body.
-    # (min(count) >= k >= 1 also means no row will need the empty-ball
-    # nearest fallback, so skipping that tracking is safe too.) Exact by
-    # construction; A/B measurement (early_exit=False) recorded in
-    # docs/PERF_NOTES.md (round-3 kernel-variant table).
+    # EARLY EXIT (one scalar branch): once EVERY center row has k hits, no
+    # later tile can contribute a slot < k — skip its entire body. Exact by
+    # construction, but MEASURED A NET ZERO-TO-LOSS at SA scales (0.99x at
+    # r0.1, 0.91x at r0.4, SA1 B8 1024x8192 K32 — tools/variant_bench.py,
+    # runs/r3_variant_bench.json): the min-over-all-rows trigger requires
+    # every ball full, which random chunk geometry rarely reaches early.
+    # Default OFF; the flag stays for configs whose balls provably fill.
     @pl.when((j == 0) | (jnp.min(count_buf[:, 0]) < k) | (not early_exit))
     def _tile_body():
         c = c_ref[0]  # (TM, 3)
@@ -117,7 +117,7 @@ def _bq_kernel(
 
 def ball_query(
     centers, points, radius: float, nsample: int, valid_mask=None,
-    early_exit: bool = True,
+    early_exit: bool = False,
 ):
     """Pallas ball query with the reference contract (see ops.reference)."""
     B, M, _ = centers.shape

@@ -79,8 +79,9 @@ def _fps_batched_kernel(px_ref, py_ref, pz_ref, maskadd_ref, idx_out, dist_ref, 
     does ONE (B, N) distance-update + per-row argmax instead of B separate
     (1, N) sweeps. Same FLOPs, but the VPU sees B*N-wide vectors (full lane
     occupancy at chunk sizes) and the fori_loop overhead is paid npoint
-    times instead of B*npoint times — A/B vs _fps_perrow recorded in
-    docs/PERF_NOTES.md (round-3 kernel-variant table)."""
+    times instead of B*npoint times — measured 1.75x vs _fps_perrow at SA1
+    scale, B8 8192->1024 (4.25 vs 7.44 ms; tools/variant_bench.py,
+    runs/r3_variant_bench.json)."""
     px = px_ref[:]  # (B, N)
     py = py_ref[:]
     pz = pz_ref[:]
