@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from dataclasses import dataclass, field, fields, is_dataclass
 from typing import Any, Tuple
 
@@ -330,6 +331,11 @@ def to_dict(cfg: Any) -> Any:
 
 
 def save_config(cfg: Config, path: str) -> None:
+    # second train() in one process: setup_logger short-circuits (handlers
+    # already installed) and never creates the new output dir — make it here
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with open(path, "w") as fh:
         yaml.safe_dump(to_dict(cfg), fh, sort_keys=False)
 
