@@ -132,7 +132,8 @@ def predict_scene(
             rng=None,
         )
         idx_blocks.append(s.pop("point_idx"))
-        s.pop("colors", None)
+        if not cfg.data.include_colors:
+            s.pop("colors", None)
         samples.append(s)
         if len(samples) == batch_size:
             flush()

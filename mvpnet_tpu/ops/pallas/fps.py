@@ -5,8 +5,9 @@ steps), so the kernel keeps the running min-distance vector resident in VMEM
 across all steps and does one fused distance-update + argmax sweep per step
 — no HBM traffic between steps, one kernel launch per batch row. Exact
 semantics of the canonical CUDA kernel / jnp reference
-(mvpnet_tpu/ops/reference.py): seeded at index 0, argmax first-occurrence
-tie-break, optional validity mask pinning invalid points to -inf.
+(mvpnet_tpu/ops/reference.py): seeded at the first valid index (index 0 when
+unmasked), argmax first-occurrence tie-break, optional validity mask pinning
+invalid points to -inf.
 
 Replaces mvpnet/ops/sample_farthest_points (UNVERIFIED; SURVEY.md §2.1).
 """
@@ -50,8 +51,13 @@ def _fps_kernel(r_ref, maskadd_ref, idx_out, dist_ref, *, npoint, n_total):
     dist_ref[:] = jnp.where(maskadd == 0.0, jnp.inf, -jnp.inf)
     col = jax.lax.broadcasted_iota(jnp.int32, px.shape, 1)
     # selected-index vector built by per-step select (scalar VMEM stores are
-    # not supported by Mosaic); slot 0 is the seed index 0
+    # not supported by Mosaic); slot 0 is the seed = first valid index
+    # (index 0 when unmasked — reference.farthest_point_sample contract)
     out_slot = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
+    # argmax over a f32 indicator (Mosaic reductions don't take bools)
+    seed = jnp.argmax(jnp.where(maskadd == 0.0, 1.0, 0.0), axis=1)[0].astype(
+        jnp.int32
+    )
 
     def body(i, carry):
         last_idx, idx_vec = carry
@@ -69,7 +75,7 @@ def _fps_kernel(r_ref, maskadd_ref, idx_out, dist_ref, *, npoint, n_total):
         return nxt, idx_vec
 
     _, idx_vec = jax.lax.fori_loop(
-        1, npoint, body, (jnp.int32(0), jnp.zeros((1, npoint), jnp.int32))
+        1, npoint, body, (seed, jnp.where(out_slot == 0, seed, 0))
     )
     idx_out[0] = idx_vec
 
@@ -91,6 +97,11 @@ def _fps_batched_kernel(px_ref, py_ref, pz_ref, maskadd_ref, idx_out, dist_ref, 
     dist_ref[:] = jnp.where(maskadd == 0.0, jnp.inf, -jnp.inf)
     col = jax.lax.broadcasted_iota(jnp.int32, px.shape, 1)
     out_slot = jax.lax.broadcasted_iota(jnp.int32, (B, npoint), 1)
+    # seed = first valid index per row (0 when unmasked); f32 indicator
+    # because Mosaic reductions don't take bools
+    seed = jnp.argmax(jnp.where(maskadd == 0.0, 1.0, 0.0), axis=1).astype(
+        jnp.int32
+    )[:, None]
 
     def body(i, carry):
         last_idx, idx_vec = carry  # (B, 1) int32, (B, npoint) int32
@@ -109,7 +120,7 @@ def _fps_batched_kernel(px_ref, py_ref, pz_ref, maskadd_ref, idx_out, dist_ref, 
         1,
         npoint,
         body,
-        (jnp.zeros((B, 1), jnp.int32), jnp.zeros((B, npoint), jnp.int32)),
+        (seed, jnp.where(out_slot == 0, seed, 0)),
     )
     idx_out[:] = idx_vec
 

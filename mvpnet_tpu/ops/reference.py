@@ -70,6 +70,9 @@ def farthest_point_sample(points, npoint: int, valid_mask=None):
     Exact semantics of the canonical CUDA kernel (seeded at index 0; ties
     broken by lowest index via argmax-first-occurrence). Replaces
     mvpnet/ops/sample_farthest_points (UNVERIFIED; SURVEY.md §2.1 row 1).
+    Masked extension: the seed is the FIRST VALID index (= 0 when unmasked or
+    when point 0 is valid), so the "invalid points are never selected"
+    contract holds at the seed too (round-3 VERDICT weak #6).
 
     Args:
       points: (B, N, 3).
@@ -103,7 +106,13 @@ def farthest_point_sample(points, npoint: int, valid_mask=None):
         nxt = jnp.argmax(dist, axis=-1).astype(jnp.int32)
         return (dist, nxt), nxt
 
-    first = (zeros[:, 0]).astype(jnp.int32)  # index 0, varying like pts
+    if valid_mask is None:
+        first = (zeros[:, 0]).astype(jnp.int32)  # index 0, varying like pts
+    else:
+        # first valid index per row (argmax returns the first True)
+        first = jnp.argmax(valid_mask, axis=-1).astype(jnp.int32) + (
+            zeros[:, 0]
+        ).astype(jnp.int32)
     if npoint == 1:
         return first[:, None]
     (_, _), rest = jax.lax.scan(

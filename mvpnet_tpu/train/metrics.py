@@ -28,21 +28,6 @@ def cross_entropy(logits, labels, ignore_label: int = -100, num_classes: int | N
     return jnp.sum(losses) / denom
 
 
-def cross_entropy_parts(logits, labels, ignore_label: int = -100):
-    """(sum of per-element losses, valid count) over non-ignored elements.
-
-    The sharded train step (dist/train_sp.py) psums both parts across shards
-    before dividing, so the sharded loss equals the unsharded weighted mean
-    EXACTLY even when shards hold different numbers of valid elements (the
-    2D aux loss's valid-depth pixel counts differ per view shard)."""
-    valid = labels != ignore_label
-    safe_labels = jnp.where(valid, labels, 0)
-    losses = optax.softmax_cross_entropy_with_integer_labels(
-        logits.astype(jnp.float32), safe_labels
-    )
-    return jnp.sum(jnp.where(valid, losses, 0.0)), jnp.sum(valid)
-
-
 def seg_accuracy(logits, labels, ignore_label: int = -100):
     """Fraction of non-ignored elements predicted correctly."""
     pred = jnp.argmax(logits, axis=-1)

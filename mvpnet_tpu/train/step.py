@@ -94,6 +94,12 @@ def prepare_batch(cfg: Config, batch: dict, *, training: bool, rng_key=None) -> 
         "image_valid": valid,
         "seg_label": batch["seg_label"],
     }
+    if "colors" in batch:
+        # per-point RGB for the xyz+RGB ablation models (models/build.PN2Seg)
+        colors = batch["colors"]
+        if colors.dtype == jnp.uint8:
+            colors = colors.astype(jnp.float32) / 255.0
+        out["colors"] = colors
     if "seg_label_2d" in batch:
         # 2D aux supervision only on valid-depth pixels
         out["seg_label_2d"] = jnp.where(

@@ -91,6 +91,23 @@ def test_fps_masked(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_fps_masked_index0(rng):
+    """Seed contract at the edge: when point 0 is invalid, the seed is the
+    FIRST VALID index — invalid points are never selected, including slot 0
+    (round-3 VERDICT weak #6)."""
+    pts = _rand_points(rng, 2, 64)
+    mask = np.ones((2, 64), bool)
+    mask[:, :10] = False
+    mask[:, 40:] = False
+    got = np.asarray(
+        ref.farthest_point_sample(jnp.asarray(pts), 8, valid_mask=jnp.asarray(mask))
+    )
+    assert got[:, 0].tolist() == [10, 10]
+    assert (got >= 10).all() and (got < 40).all()
+    want = fps_oracle(pts[:, 10:40], 8) + 10
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fps_spread(rng):
     # FPS must spread: min pairwise distance among selected >> random choice.
     pts = _rand_points(rng, 1, 512)

@@ -256,6 +256,34 @@ def test_pallas_fps_masked(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_pallas_fps_masked_index0(rng):
+    """Both kernel variants seed at the first VALID index when point 0 is
+    masked (round-3 VERDICT weak #6), matching the jnp reference."""
+    pts = jnp.asarray(_rand_points(rng, 2, 200))
+    mask = np.ones((2, 200), bool)
+    mask[0, :7] = False
+    mask[1, :3] = False
+    mask[:, 150:] = False
+    want = np.asarray(
+        ref.farthest_point_sample(pts, 16, valid_mask=jnp.asarray(mask))
+    )
+    assert want[0, 0] == 7 and want[1, 0] == 3
+    with pltpu.force_tpu_interpret_mode():
+        got_batched = np.asarray(
+            pfps.farthest_point_sample(pts, 16, valid_mask=jnp.asarray(mask))
+        )
+        old_bn = pfps._MAX_BN
+        pfps._MAX_BN = 1  # force the per-row grid kernel
+        try:
+            got_perrow = np.asarray(
+                pfps.farthest_point_sample(pts, 16, valid_mask=jnp.asarray(mask))
+            )
+        finally:
+            pfps._MAX_BN = old_bn
+    np.testing.assert_array_equal(got_batched, want)
+    np.testing.assert_array_equal(got_perrow, want)
+
+
 # ---------------------------------------------------------------------------
 # Ball query kernel
 # ---------------------------------------------------------------------------
