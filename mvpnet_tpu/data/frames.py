@@ -95,16 +95,33 @@ class FrameDataset:
         sampling makes nearly every sample decompress a whole scene's frame
         archive to slice one frame and thrashes the LRU across workers
         (advisor round-2 medium #1); visiting K frames per resident scene
-        amortizes each load K-fold. Samples within a visit are correlated
-        (same scene) — the standard locality/shuffle-quality trade."""
+        amortizes each load K-fold.
+
+        A shuffle buffer re-interleaves the visit stream so one BATCH always
+        mixes samples from several scene visits: without it, K >= batch_size
+        (the defaults: both 8) made every batch single-scene — a silent
+        shuffle-quality/BatchNorm regression vs the reference's uniform frame
+        sampling (advisor round-3 medium #1). Scene loads stay sequential
+        (one resident scene per worker), so the locality win is unchanged."""
         k = max(1, int(getattr(self.cfg, "frames_per_scene_visit", 1)))
         if k == 1 or len(self._counts) == 1:
             while True:
                 yield self.sample(rng)
+
+        def visits():
+            while True:
+                si = int(rng.choice(len(self._counts), p=self._scene_probs))
+                for fi in rng.integers(self._counts[si], size=k):
+                    yield self._frame(si, int(fi))
+
+        size = max(4 * k, 2 * self.batch_size)  # ~size/k concurrent visits
+        src = visits()
+        buf = [next(src) for _ in range(size)]
         while True:
-            si = int(rng.choice(len(self._counts), p=self._scene_probs))
-            for fi in rng.integers(self._counts[si], size=k):
-                yield self._frame(si, int(fi))
+            j = int(rng.integers(size))
+            out = buf[j]
+            buf[j] = next(src)
+            yield out
 
     def _batch(self, samples) -> dict:
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}

@@ -225,14 +225,20 @@ def _pack_batch(batch: dict):
     """Concatenate every array's raw bytes into ONE uint8 vector + a static
     layout. One device_put + one jitted unpack replaces a per-array RPC
     round-trip each — on the tunneled TPU platform per-array puts measured
-    ~170 ms/step at config-#2 shapes (docs/PERF_NOTES.md round 3)."""
+    ~170 ms/step at config-#2 shapes (docs/PERF_NOTES.md round 3).
+
+    Non-array values come back separately (``extras``) and are re-attached
+    host-side after unpacking: storing them in the layout tuple would make
+    the jit-cache key unhashable (list/dict values) or bake per-batch scalars
+    into a fresh compile each (advisor round-3 low #4)."""
     layout = []
     parts = []
+    extras = {}
     off = 0
     for k in sorted(batch):
         v = batch[k]
         if not isinstance(v, np.ndarray):
-            layout.append((k, None, v, 0, 0))
+            extras[k] = v
             continue
         # mirror device_put's x64-disabled canonicalization so the on-device
         # dtypes match the unpacked path
@@ -251,7 +257,8 @@ def _pack_batch(batch: dict):
         layout.append((k, v.dtype.str, v.shape, off, raw.size))
         parts.append(raw)
         off += raw.size
-    return np.concatenate(parts) if parts else np.zeros(0, np.uint8), tuple(layout)
+    packed = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    return packed, tuple(layout), extras
 
 
 _unpack_cache: dict = {}
@@ -265,9 +272,6 @@ def _unpack_fn(layout):
     def unpack(packed):
         out = {}
         for k, dstr, shape, off, size in layout:
-            if dstr is None:  # non-array passthrough (stored in `shape`)
-                out[k] = shape
-                continue
             dt = np.dtype(dstr)
             raw = jax.lax.dynamic_slice(packed, (off,), (size,))
             if dt.itemsize > 1:
@@ -321,6 +325,7 @@ class PrefetchIterator:
         self._put_fn = put_fn
         self._pack = pack and put_fn is None  # mesh mode shards per array
         self._ready = None  # transfer-ahead slot (see __next__)
+        self._ready_exc = None  # deferred transfer-ahead failure
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self._iterator = None
@@ -372,18 +377,26 @@ class PrefetchIterator:
             # mesh mode: assemble a globally-sharded batch (dist/bootstrap.py)
             return self._put_fn(item)
         if self._pack and isinstance(item, dict):
-            packed, layout = _pack_batch(item)
+            packed, layout, extras = _pack_batch(item)
             dev = (
                 jax.device_put(packed, self._device)
                 if self._device is not None
                 else jax.device_put(packed)
             )
-            return _unpack_fn(layout)(dev)
+            out = dict(_unpack_fn(layout)(dev))
+            out.update(extras)  # host-side non-array passthrough
+            return out
         if self._device is not None:
             return jax.device_put(item, self._device)
         return jax.device_put(item)
 
     def __next__(self):
+        if self._ready_exc is not None:
+            # a speculative transfer failed AFTER the previous batch was
+            # already handed out; surface it now (advisor round-3 low #5)
+            exc, self._ready_exc = self._ready_exc, None
+            self.close()
+            raise exc
         if self._ready is not None:
             item = self._ready
             self._ready = None
@@ -399,14 +412,19 @@ class PrefetchIterator:
         # overlaps that step's device compute. Putting at consume time
         # serialized the copy into every step (~170 ms/step of tunnel H2D at
         # config-#2 shapes — docs/PERF_NOTES.md round-3 step profile).
+        # A failure here must not lose the already-transferred current
+        # batch: defer the exception to the next __next__ call.
         try:
             self._ready = self._transfer(self._queue.get_nowait())
         except queue.Empty:
             pass
+        except BaseException as e:
+            self._ready_exc = e
         return item
 
     def close(self):
         self._stop.set()
+        self._ready = None  # drop any transferred-ahead device buffer
         # drain so producers blocked on put() observe the stop event
         while True:
             try:

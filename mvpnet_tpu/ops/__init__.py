@@ -59,6 +59,15 @@ def knn(
     ``refs_coherent=True`` tells the gated kernel the refs are already
     spatially coherent in memory order (scanline pixel clouds): it skips
     its ref-side Morton sort/gather — a speed hint only, results identical.
+    (The production fusion path does NOT set it: measured 26.8 vs 15.4 ms
+    at B4 fusion scale — runs/r4_fusion_knn_ab.json.)
+
+    Coordinate-magnitude contract (gated kernel): REAL coordinates must
+    satisfy ``|coord| < 1e5`` — values at/above that are treated as
+    invalid-point sentinels (unproject fill 1e6, mask fill 1e9, pad 3e9)
+    and excluded from the kernel's pruning bounds, so a legitimately
+    huge-magnitude ref (e.g. unscaled millimeter data) could be pruned
+    away. Scale such data to meters first (the pipeline already does).
     """
     if _use_pallas(impl):
         from mvpnet_tpu.ops.pallas import knn as pallas_knn

@@ -654,7 +654,12 @@ def knn(queries, refs, k: int, ref_mask=None, refs_coherent: bool = False):
     ``refs_coherent=True``: the caller asserts refs are already spatially
     coherent in memory order (scanline pixel clouds) — skip the ref-side
     Morton sort (exactness unaffected; only the tile bounds' quality, and
-    hence speed, depends on coherence)."""
+    hence speed, depends on coherence).
+
+    Contract: real coordinates must satisfy ``|coord| < _SENTINEL_MIN``
+    (1e5); larger magnitudes are read as invalid-point sentinels and
+    excluded from pruning bounds, so a legitimately huge-coordinate ref
+    could be wrongly pruned (advisor round-3 low #2 — scale to meters)."""
     if ref_mask is not None:
         refs = jnp.where(ref_mask[..., None], refs, jnp.asarray(1e9, refs.dtype))
     return knn_gated(queries, refs, k, not refs_coherent)

@@ -354,6 +354,40 @@ def test_frame_dataset_samples_full_corpus(scene):
     assert len(seen) == len(scene.depth)
 
 
+def test_frame_dataset_batches_mix_scenes():
+    """With frames_per_scene_visit >= batch_size, batches must STILL mix
+    several scenes (shuffle buffer over concurrent scene visits — advisor
+    round-3 medium #1: consecutive-visit batches were single-scene, a
+    shuffle-quality/BatchNorm regression vs the reference's uniform frame
+    sampling)."""
+    from mvpnet_tpu.data.frames import FrameDataset
+    from mvpnet_tpu.data.synthetic import make_scene
+
+    scenes = [
+        make_scene(i, num_points=2000, num_frames=6, height=24, width=32)
+        for i in range(4)
+    ]
+    cfg = small_data_cfg(frames_per_scene_visit=8)
+    ds = FrameDataset(scenes, cfg, batch_size=8, training=True, seed=0)
+    # map each frame image back to its scene via exact byte identity
+    frame_to_scene = {}
+    for si, s in enumerate(scenes):
+        for fi in range(len(s.depth)):
+            img = np.clip(s.rgb[fi] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            frame_to_scene[img.tobytes()] = si
+    it = iter(ds)
+    multi = 0
+    for _ in range(10):
+        batch = next(it)
+        batch_scenes = {
+            frame_to_scene[batch["images"][i].tobytes()]
+            for i in range(batch["images"].shape[0])
+        }
+        if len(batch_scenes) > 1:
+            multi += 1
+    assert multi >= 8, f"only {multi}/10 batches mixed scenes"
+
+
 def test_frame_dataset_iter_epoch_covers_every_frame(scene):
     from mvpnet_tpu.data.frames import FrameDataset
 
@@ -508,10 +542,16 @@ def test_packed_transfer_roundtrip(rng):
         "points": rng.normal(size=(2, 16, 3)).astype(np.float32),
         "seg_label": rng.integers(0, 5, (2, 16)).astype(np.int32),
         "n_real": 2,
+        "meta": {"scene": "a"},  # unhashable non-array must not break caching
     }
-    packed, layout = _pack_batch(batch)
+    packed, layout, extras = _pack_batch(batch)
     assert packed.dtype == np.uint8
-    out = _unpack_fn(layout)(jax.device_put(packed))
+    assert extras == {"n_real": 2, "meta": {"scene": "a"}}
+    # layout (the jit-cache key) carries arrays only and stays hashable even
+    # with list/dict batch values (advisor round-3 low #4)
+    hash(layout)
+    out = dict(_unpack_fn(layout)(jax.device_put(packed)))
+    out.update(extras)
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
             got = np.asarray(out[k])
