@@ -60,8 +60,22 @@ def unproject_np(depth, intrinsics, poses, fill=1e6):
 
 
 def bench_ours():
-    """Returns (chunks/sec on the default jax device, eval-mode model, cfg)."""
+    """Returns (device-resident chunks/s, tunnel-fed chunks/s, model, cfg).
+
+    Two measurements of the same jitted eval forward (round-3 VERDICT next
+    #1b — the old bench dispatched every forward over the ~25 ms/RPC tunnel
+    and could not register kernel progress):
+
+      * device-resident (METRIC OF RECORD): a ``lax.fori_loop`` of
+        ``JAX_ITERS`` forwards inside ONE jit, iterations chained through a
+        scalar carry (the ``carry * 1e-30`` perturbation is exactly 0 in f32
+        arithmetic but defeats loop-invariant hoisting), ONE dispatch + one
+        4-byte D2H — what the chip actually sustains;
+      * tunnel-fed: one RPC dispatch per forward — what a user of THIS
+        tunneled dev host observes (kept for the r01-r03 ratio history).
+    """
     import jax
+    import jax.numpy as jnp
     from flax import nnx
 
     from mvpnet_tpu.config import Config
@@ -78,6 +92,18 @@ def bench_ours():
         m = nnx.merge(graphdef, state)
         return m(prepare_batch(cfg, batch, training=False))[0]
 
+    def rolled(state, batch, iters):
+        def body(i, carry):
+            b = dict(batch)
+            b["points"] = batch["points"] + carry * 1e-30
+            m = nnx.merge(graphdef, state)
+            logits = m(prepare_batch(cfg, b, training=False))[0]
+            return jnp.sum(logits[0, 0]) * 1e-6
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    rolled_jit = jax.jit(rolled, static_argnums=2)
+
     rng = np.random.default_rng(0)
     batch = jax.device_put(build_batch(rng))
     # NOTE: materialize with np.asarray — on the tunneled TPU platform
@@ -87,20 +113,31 @@ def bench_ours():
     for _ in range(JAX_ITERS):
         out = forward(state, batch)
     _ = np.asarray(out)
-    dt = (time.perf_counter() - t0) / JAX_ITERS
-    return B / dt, model, cfg
+    dt_tunnel = (time.perf_counter() - t0) / JAX_ITERS
+
+    _ = np.asarray(rolled_jit(state, batch, JAX_ITERS))  # compile
+    t0 = time.perf_counter()
+    _ = np.asarray(rolled_jit(state, batch, JAX_ITERS))
+    dt_device = (time.perf_counter() - t0) / JAX_ITERS
+    return B / dt_device, B / dt_tunnel, model, cfg
 
 
-def bench_ours_train(model, cfg) -> float:
-    """Fwd+bwd+update throughput (chunks/s) of the real jitted train step at
-    config-#2 training shapes — training is the dominant workload (round-2
-    VERDICT weak #2: the bench measured inference only)."""
+def bench_ours_train(model, cfg):
+    """Fwd+bwd+update throughput of the real train step at config-#2 training
+    shapes — training is the dominant workload (round-2 VERDICT weak #2).
+
+    Returns (device-resident chunks/s, tunnel-fed chunks/s): the tunnel
+    number dispatches the nnx step per call (r01-r03 methodology); the
+    device number rolls TRAIN_ITERS functional steps (split/merge of
+    model+optimizer state) into one ``lax.fori_loop`` jit — state threads
+    through the carry, so iterations are genuinely sequential."""
     import jax
+    import jax.numpy as jnp
     from flax import nnx
 
     from mvpnet_tpu.models import build_model
     from mvpnet_tpu.train.solver import build_optimizer
-    from mvpnet_tpu.train.step import make_train_step
+    from mvpnet_tpu.train.step import make_train_step, prepare_batch
 
     model_t, loss_fn, metric_fn = build_model(cfg, rngs=nnx.Rngs(0))
     optimizer = nnx.Optimizer(model_t, build_optimizer(cfg.solver), wrt=nnx.Param)
@@ -123,8 +160,34 @@ def bench_ours_train(model, cfg) -> float:
     for _ in range(TRAIN_ITERS):
         m = step(model_t, optimizer, batch, key)
     _ = np.asarray(m["loss"])
-    dt = (time.perf_counter() - t0) / TRAIN_ITERS
-    return B_TRAIN / dt
+    dt_tunnel = (time.perf_counter() - t0) / TRAIN_ITERS
+
+    # device-resident rolled loop over functional (model, optimizer) state
+    graphdef, st0 = nnx.split((model_t, optimizer))
+
+    def rolled(state, batch, key, iters):
+        def body(i, carry):
+            st, _ = carry
+            m, opt = nnx.merge(graphdef, st)
+            mb = prepare_batch(cfg_nod, batch, training=True,
+                               rng_key=jax.random.fold_in(key, i))
+
+            def compute_loss(mm):
+                return loss_fn(mm(mb), mb)
+
+            loss, grads = nnx.value_and_grad(compute_loss)(m)
+            opt.update(m, grads)
+            _, st_new = nnx.split((m, opt))
+            return st_new, loss
+
+        return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0.0)))[1]
+
+    rolled_jit = jax.jit(rolled, static_argnums=3)
+    _ = np.asarray(rolled_jit(st0, batch, key, TRAIN_ITERS))  # compile
+    t0 = time.perf_counter()
+    _ = np.asarray(rolled_jit(st0, batch, key, TRAIN_ITERS))
+    dt_device = (time.perf_counter() - t0) / TRAIN_ITERS
+    return B_TRAIN / dt_device, B_TRAIN / dt_tunnel
 
 
 def bench_torch_train(model, cfg) -> float:
@@ -360,12 +423,12 @@ def bench_torch_standin() -> float:
 
 
 def main():
-    ours, model, cfg = bench_ours()
+    ours, ours_tunnel, model, cfg = bench_ours()
     try:
-        train_ours = bench_ours_train(model, cfg)
+        train_ours, train_tunnel = bench_ours_train(model, cfg)
     except Exception as e:
         print(f"train-step measurement failed: {e}", file=sys.stderr)
-        train_ours = float("nan")
+        train_ours = train_tunnel = float("nan")
     try:
         base = bench_torch_oracle(model, cfg)
     except Exception as e:  # baseline failure must not kill the bench
@@ -389,13 +452,16 @@ def main():
         round(ours / standin, 2) if np.isfinite(standin) and standin > 0 else None
     )
     print(
-        f"ours: {ours:.2f} chunks/s ({scenes_per_sec:.3f} scenes/s); "
-        f"torch-cpu real-op oracle: {base:.2f} chunks/s ({base_scenes:.3f} scenes/s); "
+        f"ours: {ours:.2f} chunks/s device-resident "
+        f"({scenes_per_sec:.3f} scenes/s), {ours_tunnel:.2f} chunks/s "
+        f"tunnel-fed; torch-cpu real-op oracle: {base:.2f} chunks/s "
+        f"({base_scenes:.3f} scenes/s); "
         f"torch-cpu shape-only standin: {standin:.2f} chunks/s",
         file=sys.stderr,
     )
     print(
-        f"train: ours {train_ours:.2f} chunks/s fwd+bwd+update; "
+        f"train: ours {train_ours:.2f} chunks/s device-resident, "
+        f"{train_tunnel:.2f} tunnel-fed fwd+bwd+update; "
         f"torch-cpu oracle {train_base:.2f} chunks/s",
         file=sys.stderr,
     )
@@ -408,12 +474,21 @@ def main():
         json.dumps(
             {
                 "metric": "scenes/sec/chip (8192-pt chunks, 5 views, 25 chunks/scene)",
+                # metric of record: DEVICE-RESIDENT forwards (rolled jit
+                # loop). The r01-r03 bench dispatched per call over the
+                # ~25 ms/RPC dev tunnel, flooring the number near 3.57
+                # regardless of kernel progress (round-3 VERDICT weak #3);
+                # tunnel_scenes_per_sec keeps that series comparable.
                 "value": round(scenes_per_sec, 4),
                 "unit": "scenes/s",
+                "tunnel_scenes_per_sec": round(ours_tunnel / CHUNKS_PER_SCENE, 4),
                 "vs_baseline": round(vs, 2) if vs else None,
                 "vs_baseline_standin": vs_standin,
                 "train_chunks_per_sec": (
                     round(train_ours, 2) if np.isfinite(train_ours) else None
+                ),
+                "train_tunnel_chunks_per_sec": (
+                    round(train_tunnel, 2) if np.isfinite(train_tunnel) else None
                 ),
                 "train_vs_baseline": train_vs,
                 # vs_baseline caveat (round-2 VERDICT weak #3): the baseline
