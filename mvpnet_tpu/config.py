@@ -176,6 +176,14 @@ class SolverConfig:
     clip_lr: float = 1e-5
     warmup_steps: int = 0
     max_grad_norm: float = 0.0  # 0 disables clipping
+    # run the optimizer update over ONE flattened parameter vector instead
+    # of hundreds of small tensors (train/solver.flatten_update; exact for
+    # these unmasked optimizers). Default OFF: the device-resident A/B
+    # measured it a wash (update 4.9 -> 4.75 ms, step 106.5 -> 108.4 ms at
+    # config-#2 shapes; runs/r4_opt_flat.json) — round 3's "28 ms marginal"
+    # was per-call dispatch overhead, not device time. Kept because some
+    # deployments (many more tensors, other optimizers) may differ.
+    flatten_update: bool = False
 
 
 @dataclass(frozen=True)
@@ -213,6 +221,11 @@ class EvalConfig:
 
     batch_size: int = 4  # chunk minibatch in the single-device mode
     sharded: bool = False
+    # single-device scene-view-set mode: one view set per scene, 2D net run
+    # once, pixel cloud knn_prepare()'d once, chunks query the prepared
+    # cloud (eval/scene_fused.py — the sharded estimator on one chip; the
+    # config-#4 64-view whole-scene consumer)
+    fused: bool = False
     # views selected per scene in sharded mode (padded up to a multiple of
     # the space-axis size; each shard runs the 2D net over its local views)
     scene_views: int = 12

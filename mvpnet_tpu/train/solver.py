@@ -13,6 +13,39 @@ import optax
 from mvpnet_tpu.config import SolverConfig
 
 
+def flatten_update(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Run ``tx``'s update over ONE concatenated vector per pytree.
+
+    The model's hundreds of small parameter tensors make the elementwise
+    optimizer update launch/overhead-bound: ~28 ms marginal for 22M params
+    (~19 GB/s effective against the v5e's ~800 GB/s HBM) — docs/PERF_NOTES.md
+    round 3, which names this exact fix. Flattening turns the update into a
+    few full-vector elementwise passes.
+
+    Semantics: EXACT for uniform (unmasked) transforms — everything
+    ``build_optimizer`` constructs (adam/adamw/sgd, global-norm clip, scalar
+    schedules) applies the same elementwise math to every leaf, and the
+    global-norm reduction is order-insensitive up to float associativity.
+    Do NOT wrap per-leaf-masked transforms. Note: the optimizer checkpoint
+    layout changes (one vector instead of the param tree), so resuming an
+    unflattened run with ``solver.flatten_update=true`` (or vice versa)
+    needs a fresh optimizer state.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return tx.init(flat)
+
+    def update(updates, state, params=None):
+        gflat, unravel = ravel_pytree(updates)
+        pflat = ravel_pytree(params)[0] if params is not None else None
+        out, new_state = tx.update(gflat, state, pflat)
+        return unravel(out), new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_schedule(cfg: SolverConfig):
     if cfg.scheduler == "none":
         base = optax.constant_schedule(cfg.base_lr)
@@ -72,4 +105,7 @@ def build_optimizer(cfg: SolverConfig) -> optax.GradientTransformation:
     parts.append(tx)
     if cfg.optimizer == "sgd" and cfg.weight_decay > 0:
         parts.insert(0, optax.add_decayed_weights(cfg.weight_decay))
-    return optax.chain(*parts) if len(parts) > 1 else parts[0]
+    out = optax.chain(*parts) if len(parts) > 1 else parts[0]
+    if cfg.flatten_update:
+        out = flatten_update(out)
+    return out
