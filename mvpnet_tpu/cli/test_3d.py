@@ -32,6 +32,12 @@ def main(argv=None):
         help="space-sharded whole-scene inference over the cfg.mesh space "
         "axis (scene-level view set + ring fusion; eval/sharded_scene.py)",
     )
+    ap.add_argument(
+        "--fused",
+        action="store_true",
+        help="single-device scene-view-set inference with a prepared pixel "
+        "cloud (the sharded estimator on one chip; eval/scene_fused.py)",
+    )
     ap.add_argument("opts", nargs="*")
     args = ap.parse_args(argv)
 
@@ -63,6 +69,7 @@ def main(argv=None):
         batch_size=args.batch_size or cfg.eval.batch_size,
         export_dir=args.export,
         mesh=mesh,
+        fused=args.fused or cfg.eval.fused,
     )
     logger.info("results: %s", json.dumps(results, indent=2))
     print(json.dumps(results))

@@ -85,6 +85,50 @@ def knn(
     return _ref.knn(queries, refs, k, ref_mask=ref_mask)
 
 
+@jax.tree_util.register_pytree_node_class
+class RawRefs:
+    """Fallback knn_prepare() result: the refs verbatim (jit-crossable)."""
+
+    def __init__(self, refs):
+        self.refs = refs
+
+    def tree_flatten(self):
+        return (self.refs,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def knn_prepare(refs, impl: str | None = None):
+    """Prepare a ref cloud once for many knn_prepared() queries.
+
+    Whole-scene consumers (eval/scene_fused.py, BASELINE config #4) reuse
+    one prepared scene pixel cloud across every chunk window, amortizing the
+    ref-side Morton sort + tile bounds (the dominant per-call prep at 1.23M
+    refs — docs/PERF_NOTES.md round 3). On non-TPU backends (or tiny ref
+    clouds) this returns the raw refs and knn_prepared falls back to the
+    reference brute kNN.
+    """
+    if _use_pallas(impl):
+        from mvpnet_tpu.ops.pallas import knn_bucketed as pallas_knn_gated
+
+        if refs.ndim == 3 and refs.shape[-1] == 3 and refs.shape[1] >= pallas_knn_gated._MIN_N:
+            return pallas_knn_gated.prepare_refs(refs)
+    return RawRefs(refs)
+
+
+def knn_prepared(queries, prepared, k: int, impl: str | None = None):
+    """kNN against a knn_prepare() result; contract of reference.knn.
+
+    Inference-only (no gradient through the prepared path)."""
+    from mvpnet_tpu.ops.pallas import knn_bucketed as pallas_knn_gated
+
+    if isinstance(prepared, pallas_knn_gated.PreparedRefs):
+        return pallas_knn_gated.knn_prepared(queries, prepared, k)
+    return _ref.knn(queries, prepared.refs, k)
+
+
 def farthest_point_sample(points, npoint: int, valid_mask=None, impl: str | None = None):
     """Farthest point sampling; see reference.farthest_point_sample."""
     if _use_pallas(impl):

@@ -393,33 +393,16 @@ def _demand_kernel(
     i_out[0] = best_i[:]
 
 
-def _knn_forward_demand(
-    queries, refs, k: int, *, tile_m=None, tile_n=None, sub_gate=None,
-    sort_refs=True,
-):
-    """Demand-paged gated kNN forward (see _demand_kernel)."""
-    B, M, _ = queries.shape
-    N = refs.shape[1]
-    big = N >= _BIG_N
-    tile_m = tile_m or min(
-        _DEMAND_TILE_M if big else _TILE_M, max(_SUB, M)
-    )
-    if tile_n is None:
-        tile_n = _DEMAND_TILE_N_BIG if big else _TILE_N
-    if sub_gate is None:
-        sub_gate = big
+def _demand_call(q4, rT4, order, lb_sorted, *, k, tile_m, tile_n, sub_gate):
+    """Invoke _demand_kernel on prepped operands.
 
-    q_sorted, r_sorted, q_order, r_order, order, lb_sorted, M_pad, N_pad = _prepare(
-        queries, refs, tile_m, tile_n, sort_refs=sort_refs
-    )
+    q4 (B, M_pad, 4) sorted+padded queries; rT4 (B, 4, N_pad) sorted+padded
+    transposed refs; order/lb_sorted (B, Mt, Nt) visit lists. Returns
+    (d_s, i_s) over SORTED query rows with SORTED ref indices.
+    """
+    B, M_pad, _ = q4.shape
+    N_pad = rT4.shape[-1]
     nt = N_pad // tile_n
-    # pad the coordinate axis 3 -> 4 with zeros: Mosaic requires DMA slice
-    # sublane dims aligned to 4, and a zero coordinate changes neither
-    # distances nor bounds
-    q4 = jnp.pad(q_sorted, ((0, 0), (0, 0), (0, 1)))
-    rT4 = jnp.pad(
-        jnp.swapaxes(r_sorted, 1, 2), ((0, 0), (0, 1), (0, 0))
-    )  # (B, 4, N_pad)
     # pad the visit lists to 128 lanes so each (nt,) row DMAs whole-row
     # aligned into SMEM; the padded entries carry lb=+inf and are never
     # visited (n_tiles keeps the real count)
@@ -474,7 +457,13 @@ def _knn_forward_demand(
             jax.ShapeDtypeStruct((B, M_pad, k), jnp.int32),
         ],
     )(q4, rT4, order_rows, lb_rows)
+    return d_s, i_s
 
+
+def _unmap(d_s, i_s, q_order, r_order, M, N):
+    """Map kernel outputs back to original query order / ref indices."""
+    B = d_s.shape[0]
+    k = d_s.shape[-1]
     d_s, i_s = d_s[:, :M], i_s[:, :M]
     if r_order is None:
         i_orig = jnp.clip(i_s, 0, N - 1)
@@ -486,6 +475,39 @@ def _knn_forward_demand(
     d = jnp.take_along_axis(d_s, inv[..., None], axis=1)
     i = jnp.take_along_axis(i_orig, inv[..., None], axis=1)
     return d, i
+
+
+def _knn_forward_demand(
+    queries, refs, k: int, *, tile_m=None, tile_n=None, sub_gate=None,
+    sort_refs=True,
+):
+    """Demand-paged gated kNN forward (see _demand_kernel)."""
+    B, M, _ = queries.shape
+    N = refs.shape[1]
+    big = N >= _BIG_N
+    tile_m = tile_m or min(
+        _DEMAND_TILE_M if big else _TILE_M, max(_SUB, M)
+    )
+    if tile_n is None:
+        tile_n = _DEMAND_TILE_N_BIG if big else _TILE_N
+    if sub_gate is None:
+        sub_gate = big
+
+    q_sorted, r_sorted, q_order, r_order, order, lb_sorted, M_pad, N_pad = _prepare(
+        queries, refs, tile_m, tile_n, sort_refs=sort_refs
+    )
+    # pad the coordinate axis 3 -> 4 with zeros: Mosaic requires DMA slice
+    # sublane dims aligned to 4, and a zero coordinate changes neither
+    # distances nor bounds
+    q4 = jnp.pad(q_sorted, ((0, 0), (0, 0), (0, 1)))
+    rT4 = jnp.pad(
+        jnp.swapaxes(r_sorted, 1, 2), ((0, 0), (0, 1), (0, 0))
+    )  # (B, 4, N_pad)
+    d_s, i_s = _demand_call(
+        q4, rT4, order, lb_sorted,
+        k=k, tile_m=tile_m, tile_n=tile_n, sub_gate=sub_gate,
+    )
+    return _unmap(d_s, i_s, q_order, r_order, M, N)
 
 
 def _prepare(queries, refs, tile_m, tile_n, sort_refs=True):
@@ -646,6 +668,109 @@ def _bwd(k, sort_refs, residuals, cotangents):
 # backward is pure index math on original-space indices — identical to the
 # brute kernel's analytic VJP
 knn_gated.defvjp(_fwd, _bwd)
+
+
+@jax.tree_util.register_pytree_node_class
+class PreparedRefs:
+    """A ref cloud prepped ONCE for many kNN queries (SURVEY.md §7 hard
+    part 3 / BASELINE config #4): Morton sort + gather + tile AABBs are the
+    dominant per-call prep at 1.23M refs (~60 ms of the 124 ms full call,
+    docs/PERF_NOTES.md round 3) and depend only on the refs — a whole-scene
+    consumer (eval/scene_fused.py) amortizes them across every chunk window
+    of the scene.
+
+    Registered as a pytree with ``n``/``tile_n`` as STATIC aux data so a
+    PreparedRefs can cross jit boundaries (tile geometry shapes the kernel
+    grid and must stay Python ints under tracing).
+
+    Fields: rT4 (B, 4, N_pad) Morton-sorted transposed refs with a zero 4th
+    row; r_order (B, N) sorted-position -> original index; rlo / rhi
+    (B, Nt, 3) per-tile AABBs over real coords; n original ref count;
+    tile_n tile geometry the sort was built for."""
+
+    def __init__(self, rT4, r_order, rlo, rhi, n: int, tile_n: int):
+        self.rT4 = rT4
+        self.r_order = r_order
+        self.rlo = rlo
+        self.rhi = rhi
+        self.n = n
+        self.tile_n = tile_n
+
+    def tree_flatten(self):
+        return (self.rT4, self.r_order, self.rlo, self.rhi), (self.n, self.tile_n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def prepare_refs(refs, tile_n: int | None = None) -> PreparedRefs:
+    """Morton-sort a ref cloud and precompute its tile bounds.
+
+    The quantization box comes from the refs' REAL (non-sentinel) coords —
+    unlike the fused path, which boxes by the query chunk — so the result is
+    query-independent and reusable. Box choice affects only sort locality,
+    never correctness: bounds and distances are computed in world coords.
+    """
+    B, N, _ = refs.shape
+    big = N >= _BIG_N
+    if tile_n is None:
+        tile_n = _DEMAND_TILE_N_BIG if big else _TILE_N
+    r = refs.astype(jnp.float32)
+    real = jnp.all(jnp.abs(r) < _SENTINEL_MIN, axis=-1, keepdims=True)
+    lo = jnp.min(jnp.where(real, r, jnp.inf), axis=1, keepdims=True)
+    hi = jnp.max(jnp.where(real, r, -jnp.inf), axis=1, keepdims=True)
+    r_order = jnp.argsort(_morton_code(r, lo, hi), axis=1).astype(jnp.int32)
+    r_sorted = jnp.take_along_axis(r, r_order[..., None], axis=1)
+    N_pad = pl.cdiv(N, tile_n) * tile_n
+    if N_pad > N:
+        r_sorted = jnp.pad(
+            r_sorted, ((0, 0), (0, N_pad - N), (0, 0)), constant_values=_PAD_COORD
+        )
+    rlo, rhi = _tile_bounds(r_sorted, tile_n)
+    rT4 = jnp.pad(jnp.swapaxes(r_sorted, 1, 2), ((0, 0), (0, 1), (0, 0)))
+    return PreparedRefs(rT4, r_order, rlo, rhi, N, tile_n)
+
+
+def knn_prepared(queries, prepared: PreparedRefs, k: int):
+    """Demand-paged gated kNN against a prepare_refs() cloud.
+
+    Per-call work is query-side only: query Morton sort (M elements, not N),
+    query tile bounds, and the (Mt, Nt) visit-order ranking. Same exactness
+    contract as knn_gated. Inference-only (no custom VJP) — the training
+    path's refs change every step, so there is nothing to amortize there.
+    """
+    B, M, _ = queries.shape
+    assert prepared.rT4.shape[0] == B, (
+        f"batch mismatch: queries {B} vs prepared refs {prepared.rT4.shape[0]}"
+    )
+    N_pad = prepared.rT4.shape[-1]
+    tile_n = prepared.tile_n
+    big = N_pad >= _BIG_N
+    tile_m = min(_DEMAND_TILE_M if big else _TILE_M, max(_SUB, M))
+    sub_gate = big
+
+    q = queries.astype(jnp.float32)
+    lo = jnp.min(q, axis=1, keepdims=True)
+    hi = jnp.max(q, axis=1, keepdims=True)
+    q_order = jnp.argsort(_morton_code(q, lo, hi), axis=1).astype(jnp.int32)
+    q_sorted = jnp.take_along_axis(q, q_order[..., None], axis=1)
+    M_pad = pl.cdiv(M, tile_m) * tile_m
+    if M_pad > M:
+        q_sorted = jnp.pad(
+            q_sorted, ((0, 0), (0, M_pad - M), (0, 0)), constant_values=_PAD_COORD
+        )
+    qlo, qhi = _tile_bounds(q_sorted, tile_m)
+    lb = _box_sqdist(qlo, qhi, prepared.rlo, prepared.rhi)
+    order = jnp.argsort(lb, axis=-1).astype(jnp.int32)
+    lb_sorted = jnp.take_along_axis(lb, order, axis=-1)
+
+    q4 = jnp.pad(q_sorted, ((0, 0), (0, 0), (0, 1)))
+    d_s, i_s = _demand_call(
+        q4, prepared.rT4, order, lb_sorted,
+        k=k, tile_m=tile_m, tile_n=tile_n, sub_gate=sub_gate,
+    )
+    return _unmap(d_s, i_s, q_order, prepared.r_order, M, prepared.n)
 
 
 def knn(queries, refs, k: int, ref_mask=None, refs_coherent: bool = False):

@@ -111,6 +111,43 @@ def test_gated_knn_matches_reference(rng, small_gated_tiles, b, m, n, k):
     np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_want), atol=1e-5)
 
 
+@pytest.mark.parametrize("b,m,n,k", [(2, 100, 1000, 3), (1, 37, 500, 4)])
+def test_knn_prepared_matches_reference(rng, small_gated_tiles, b, m, n, k):
+    """prepare_refs + knn_prepared == the fused gated call == reference:
+    one prepared cloud must serve MANY query sets (the whole-scene
+    amortization contract, BASELINE config #4)."""
+    r = jnp.asarray(_rand_points(rng, b, n))
+    with pltpu.force_tpu_interpret_mode():
+        prepared = pgated.prepare_refs(r)
+        for qi in range(3):  # several query sets against ONE prepared cloud
+            q = jnp.asarray(_rand_points(np.random.default_rng(qi), b, m))
+            d_want, i_want = ref.knn(q, r, k)
+            d_got, i_got = pgated.knn_prepared(q, prepared, k)
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(i_got), -1), np.sort(np.asarray(i_want), -1)
+            )
+            np.testing.assert_allclose(
+                np.asarray(d_got), np.asarray(d_want), atol=1e-5
+            )
+
+
+def test_knn_prepared_sentinel_refs(rng, small_gated_tiles):
+    """Invalid-pixel sentinels (1e6 fill) in a prepared cloud are never
+    returned while any real ref is closer, exactly like the fused path."""
+    r_np = _rand_points(rng, 1, 600)
+    r_np[0, 150:300] = 1e6  # a block of invalid pixels
+    r = jnp.asarray(r_np)
+    q = jnp.asarray(_rand_points(rng, 1, 64))
+    d_want, i_want = ref.knn(q, r, 3)
+    with pltpu.force_tpu_interpret_mode():
+        prepared = pgated.prepare_refs(r)
+        d_got, i_got = pgated.knn_prepared(q, prepared, 3)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(i_got), -1), np.sort(np.asarray(i_want), -1)
+    )
+    assert not np.isin(np.asarray(i_got), np.arange(150, 300)).any()
+
+
 def test_gated_knn_duplicate_points(rng, small_gated_tiles):
     """Documented tie contract of the GATED kernel (round-2 VERDICT weak #6):
     with exactly-duplicated refs, distances are exact and every returned
