@@ -29,12 +29,20 @@ V5E_PEAK_FLOPS = 394e12  # bf16 per chip
 
 
 def _timed(fn, *args, iters=10):
+    import jax.numpy as jnp
+
+    def sync(out):
+        # materialize 4 ELEMENTS per output (axon block_until_ready lies;
+        # full np.asarray bills MB-scale outputs to the ~38 MB/s tunnel and
+        # polluted every round-2/3 segment number — PERF_NOTES round 4)
+        jax.tree.map(lambda a: np.asarray(jnp.ravel(a)[:4]), out)
+
     out = fn(*args)
-    jax.tree.map(np.asarray, out)  # materialize (axon block_until_ready lies)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree.map(np.asarray, out)
+    sync(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -95,6 +103,37 @@ def breakdown(cfg, model, batch, key, loss_fn):
 
         return nnx.value_and_grad(loss)(model)[0]
 
+    # per-subnet fwd+bwd: grads of a scalar of each stage's output w.r.t.
+    # Params, through the same nnx transform stack as the real step (BN
+    # batch-stat mutation included)
+    import jax.numpy as jnp
+
+    @nnx.jit
+    def net2d_grad(model, images):
+        def loss(m):
+            B, V, H, W, _ = images.shape
+            feat, logits = m.net_2d(images.reshape(B * V, H, W, 3))
+            return jnp.sum(feat.astype(jnp.float32)) + jnp.sum(logits)
+
+        return nnx.value_and_grad(loss)(model)[0]
+
+    @nnx.jit
+    def net3d_grad(model, pts, fused):
+        def loss(m):
+            return jnp.sum(m.net_3d(pts, fused))
+
+        return nnx.value_and_grad(loss)(model)[0]
+
+    @nnx.jit
+    def agg_grad(model, pts, pxyz, pfeat):
+        def loss(m):
+            _, idx = ops.knn(pts, pxyz, k)
+            gf = ops.group_points(pfeat, idx)
+            gx = ops.group_points(pxyz, idx)
+            return jnp.sum(m.aggregation(pts, gx, gf).astype(jnp.float32))
+
+        return nnx.value_and_grad(loss)(model)[0]
+
     out = {}
 
     def add(name, fn, *a):
@@ -103,9 +142,12 @@ def breakdown(cfg, model, batch, key, loss_fn):
 
     add("prepare_ms", prep, batch, key)
     add("net2d_fwd_ms", jax.jit(net2d), state, mb["images"])
+    add("net2d_grad_ms", net2d_grad, model, mb["images"])
     add("fusion_knn_ms", jax.jit(fusion_knn), mb["points"], pixel_xyz)
     add("agg_ms", jax.jit(gather_agg), state, mb["points"], pixel_xyz, pixel_feat)
+    add("agg_grad_ms", agg_grad, model, mb["points"], pixel_xyz, pixel_feat)
     add("net3d_fwd_ms", jax.jit(net3d), state, mb["points"], fused)
+    add("net3d_grad_ms", net3d_grad, model, mb["points"], fused)
     add("full_fwd_ms", jax.jit(full_fwd), state, mb)
     add("full_grad_ms", grad_fn, model, mb)
     return out
