@@ -202,6 +202,15 @@ class TrainConfig:
     # round 3); enable for memory-bound configs (32k-pt chunks, 64-view).
     donate: bool = False
     remat: bool = False  # jax.checkpoint the 2D net to trade FLOPs for HBM
+    # gradient accumulation: split each batch into this many sequential
+    # microbatches inside the jitted step (lax.scan), average grads, one
+    # optimizer update. The config-#3 answer on this host: batch 32 at 32k
+    # points exceeds the tunnel compile-helper's program ceiling as one
+    # microbatch (B16+ crashes it — runs/r4_config_shapes.json), so 32 runs
+    # as 4 x B8. Loss/metrics are microbatch means (exact vs the monolithic
+    # batch when per-microbatch valid counts are equal); BN batch stats see
+    # microbatch-sized batches.
+    grad_accum: int = 1
     # capture a jax.profiler trace for steps [profile_start, profile_stop)
     # into <output_dir>/profile; 0/0 disables
     profile_start: int = 0

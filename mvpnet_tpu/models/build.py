@@ -80,6 +80,7 @@ def build_model(cfg: Config, *, rngs: nnx.Rngs):
 
     if name == "mvpnet_3d":
         model = MVPNet3D(cfg.model, rngs=rngs)
+        model.remat_2d = cfg.train.remat  # HBM lever for the big configs
         aux_w = cfg.model.aux_2d_loss_weight
 
         def loss_fn(out, batch):

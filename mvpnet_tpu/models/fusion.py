@@ -72,6 +72,11 @@ class MVPNet3D(nnx.Module):
         # set via dist.train_sp.install_space_fusion: route the fusion kNN
         # through the space-axis ring exchange (static attr -> retrace)
         self.fusion_mesh = None
+        # set by models.build from cfg.train.remat: rematerialize the 2D
+        # subnet in the backward pass — trades a second 2D forward for not
+        # storing B*V full-resolution activation maps (the HBM lever for
+        # the 32k-chunk / 64-view configs, config.py TrainConfig.remat)
+        self.remat_2d = False
         self.net_2d = UNetResNet34(cfg.unet, rngs=rngs)
         self.aggregation = FeatureAggregation(
             cfg.unet.feature_channels,
@@ -103,7 +108,12 @@ class MVPNet3D(nnx.Module):
         B, V, H, W, _ = images.shape
         N = points.shape[1]
 
-        feat2d, logits_2d = self.net_2d(images.reshape(B * V, H, W, 3))
+        if self.remat_2d:
+            feat2d, logits_2d = nnx.remat(lambda m, x: m(x))(
+                self.net_2d, images.reshape(B * V, H, W, 3)
+            )
+        else:
+            feat2d, logits_2d = self.net_2d(images.reshape(B * V, H, W, 3))
         C2d = feat2d.shape[-1]
         pixel_feat = feat2d.reshape(B, V * H * W, C2d)
         pixel_xyz = image_xyz.reshape(B, V * H * W, 3)

@@ -15,15 +15,78 @@ CPU fallback instead of a hard CUDA requirement.
 from __future__ import annotations
 
 import jax
+from jax.sharding import PartitionSpec as _P
 
 from mvpnet_tpu.ops import reference as _ref
 from mvpnet_tpu.ops.reference import (  # noqa: F401
     group_points,
     pairwise_sqdist,
-    three_nn_interpolate,
 )
 
 _impl = "auto"
+
+# ---------------------------------------------------------------------------
+# Batch-locality under a device mesh.
+#
+# Every op here is pure and BATCH-LOCAL (row b of every output depends only
+# on row b of every input), but XLA's SPMD partitioner cannot prove that for
+# top_k/sort (and treats Pallas custom calls as opaque): compiling the DP
+# train step on an 8-device mesh, it ALL-GATHERS the fusion-kNN distance
+# matrix and the ball-query key matrices — 15.7 GB/step at config-#2 shapes,
+# 250 GB at config #3 (runs/r4_comm_model.json, round 4). Installing the
+# active mesh here lets the ops pin themselves to shards with shard_map:
+# explicit batch locality, zero collectives, and the Pallas kernels see
+# per-shard batches (smaller VMEM footprints) instead of a gathered batch.
+# ---------------------------------------------------------------------------
+
+_data_mesh = None
+
+
+def set_data_mesh(mesh) -> None:
+    """Install (or clear, with None) the active mesh for batch-local ops.
+
+    Called by the train loop / graft entry when running under a mesh. Ops
+    invoked INSIDE an existing shard_map (e.g. the space-axis ring fusion,
+    dist/fusion.ring_knn_local) are left untouched — detected via the
+    ambient AbstractMesh's manual axes."""
+    global _data_mesh
+    _data_mesh = mesh
+
+
+def _batch_axes(B: int):
+    """Mesh axis names to shard the batch dim over, or None to run as-is."""
+    mesh = _data_mesh
+    if mesh is None:
+        return None
+    try:
+        am = jax.sharding.get_abstract_mesh()
+        if am is not None and getattr(am, "manual_axes", ()):
+            return None  # already inside shard_map: axes are manual
+    except Exception:
+        return None
+    ndev = mesh.devices.size
+    if ndev > 1 and B % ndev == 0:
+        return tuple(mesh.axis_names)
+    dsize = dict(mesh.shape).get("data", 1)
+    if dsize > 1 and B % dsize == 0:
+        return ("data",)
+    return None
+
+
+def _batch_local(fn, *arrays):
+    """Run pure batch-local ``fn(*arrays)`` shard-mapped over the batch dim
+    when a mesh is installed and the batch divides it; plain call otherwise.
+    ``out_specs`` is a prefix spec: every output leaf is batch-sharded."""
+    axes = _batch_axes(arrays[0].shape[0])
+    if axes is None:
+        return fn(*arrays)
+    spec = _P(axes)
+    return jax.shard_map(
+        fn,
+        mesh=_data_mesh,
+        in_specs=tuple(spec for _ in arrays),
+        out_specs=spec,
+    )(*arrays)
 
 
 def set_impl(name: str) -> None:
@@ -44,6 +107,23 @@ def _use_pallas(impl: str | None) -> bool:
     if mode == "pallas":
         return True
     return jax.default_backend() == "tpu"
+
+
+def _knn_dispatch(queries, refs, k, ref_mask, impl, refs_coherent):
+    if _use_pallas(impl):
+        from mvpnet_tpu.ops.pallas import knn as pallas_knn
+        from mvpnet_tpu.ops.pallas import knn_bucketed as pallas_knn_gated
+
+        # large ref clouds (fusion pixel sets, whole-scene): Morton-sorted,
+        # program-level bound-gated kernel skips most tile work at one
+        # scalar branch per tile (see ops/pallas/knn_bucketed.py)
+        if pallas_knn_gated.supported(queries, refs, k):
+            return pallas_knn_gated.knn(
+                queries, refs, k, ref_mask=ref_mask, refs_coherent=refs_coherent
+            )
+        if pallas_knn.supported(queries, refs, k):
+            return pallas_knn.knn(queries, refs, k, ref_mask=ref_mask)
+    return _ref.knn(queries, refs, k, ref_mask=ref_mask)
 
 
 def knn(
@@ -69,20 +149,18 @@ def knn(
     huge-magnitude ref (e.g. unscaled millimeter data) could be pruned
     away. Scale such data to meters first (the pipeline already does).
     """
-    if _use_pallas(impl):
-        from mvpnet_tpu.ops.pallas import knn as pallas_knn
-        from mvpnet_tpu.ops.pallas import knn_bucketed as pallas_knn_gated
-
-        # large ref clouds (fusion pixel sets, whole-scene): Morton-sorted,
-        # program-level bound-gated kernel skips most tile work at one
-        # scalar branch per tile (see ops/pallas/knn_bucketed.py)
-        if pallas_knn_gated.supported(queries, refs, k):
-            return pallas_knn_gated.knn(
-                queries, refs, k, ref_mask=ref_mask, refs_coherent=refs_coherent
-            )
-        if pallas_knn.supported(queries, refs, k):
-            return pallas_knn.knn(queries, refs, k, ref_mask=ref_mask)
-    return _ref.knn(queries, refs, k, ref_mask=ref_mask)
+    if ref_mask is None:
+        return _batch_local(
+            lambda q, r: _knn_dispatch(q, r, k, None, impl, refs_coherent),
+            queries,
+            refs,
+        )
+    return _batch_local(
+        lambda q, r, m: _knn_dispatch(q, r, k, m, impl, refs_coherent),
+        queries,
+        refs,
+        ref_mask,
+    )
 
 
 @jax.tree_util.register_pytree_node_class
@@ -129,8 +207,7 @@ def knn_prepared(queries, prepared, k: int, impl: str | None = None):
     return _ref.knn(queries, prepared.refs, k)
 
 
-def farthest_point_sample(points, npoint: int, valid_mask=None, impl: str | None = None):
-    """Farthest point sampling; see reference.farthest_point_sample."""
+def _fps_dispatch(points, npoint, valid_mask, impl):
     if _use_pallas(impl):
         from mvpnet_tpu.ops.pallas import fps as pallas_fps
 
@@ -139,11 +216,45 @@ def farthest_point_sample(points, npoint: int, valid_mask=None, impl: str | None
     return _ref.farthest_point_sample(points, npoint, valid_mask=valid_mask)
 
 
-def ball_query(centers, points, radius: float, nsample: int, valid_mask=None, impl: str | None = None):
-    """Fixed-K radius neighborhood; see reference.ball_query."""
+def farthest_point_sample(points, npoint: int, valid_mask=None, impl: str | None = None):
+    """Farthest point sampling; see reference.farthest_point_sample."""
+    if valid_mask is None:
+        return _batch_local(lambda p: _fps_dispatch(p, npoint, None, impl), points)
+    return _batch_local(
+        lambda p, m: _fps_dispatch(p, npoint, m, impl), points, valid_mask
+    )
+
+
+def _ball_query_dispatch(centers, points, radius, nsample, valid_mask, impl):
     if _use_pallas(impl):
         from mvpnet_tpu.ops.pallas import ballquery as pallas_bq
 
         if pallas_bq.supported(centers, points, nsample):
             return pallas_bq.ball_query(centers, points, radius, nsample, valid_mask=valid_mask)
     return _ref.ball_query(centers, points, radius, nsample, valid_mask=valid_mask)
+
+
+def ball_query(centers, points, radius: float, nsample: int, valid_mask=None, impl: str | None = None):
+    """Fixed-K radius neighborhood; see reference.ball_query."""
+    if valid_mask is None:
+        return _batch_local(
+            lambda c, p: _ball_query_dispatch(c, p, radius, nsample, None, impl),
+            centers,
+            points,
+        )
+    return _batch_local(
+        lambda c, p, m: _ball_query_dispatch(c, p, radius, nsample, m, impl),
+        centers,
+        points,
+        valid_mask,
+    )
+
+
+def three_nn_interpolate(dense_xyz, sparse_xyz, sparse_feat, eps: float = 1e-8):
+    """Inverse-distance-weighted 3-NN upsampling; see reference version."""
+    return _batch_local(
+        lambda d, s, f: _ref.three_nn_interpolate(d, s, f, eps=eps),
+        dense_xyz,
+        sparse_xyz,
+        sparse_feat,
+    )

@@ -71,6 +71,16 @@ def train(cfg: Config, *, max_steps: int | None = None, resume: bool = True):
     if mesh is not None:
         logger.info("mesh: %s", dict(mesh.shape))
         nnx.update(model, jax.device_put(nnx.state(model), replicated(mesh)))
+        # pin batch-local index ops (kNN/FPS/ball-query/3NN) to their shards:
+        # without this the SPMD partitioner all-gathers their top_k operands
+        # (15.7 GB/step at config-#2 DP — runs/r4_comm_model.json)
+        from mvpnet_tpu import ops
+
+        ops.set_data_mesh(mesh)
+    else:
+        from mvpnet_tpu import ops
+
+        ops.set_data_mesh(None)  # clear any mesh a previous run installed
     sp_specs = None
     if (
         mesh is not None

@@ -109,20 +109,72 @@ def prepare_batch(cfg: Config, batch: dict, *, training: bool, rng_key=None) -> 
 
 
 def make_train_step(cfg: Config, loss_fn, metric_fn):
-    """Build the jitted training step: (model, optimizer, batch, key) -> aux."""
+    """Build the jitted training step: (model, optimizer, batch, key) -> aux.
+
+    With ``cfg.train.grad_accum > 1`` the batch is split into that many
+    sequential microbatches inside the step (``lax.scan``), gradients are
+    averaged and applied in ONE optimizer update — how the big-batch configs
+    (BASELINE #3: batch 32 at 32k points) run within a single chip's memory
+    and the compiler's program ceiling. Loss/accuracy are microbatch means
+    and the confusion matrix is summed; BN batch statistics see
+    microbatch-sized batches (the same trade the reference makes when its
+    GPU forces a smaller batch).
+    """
+    accum = max(1, int(cfg.train.grad_accum))
 
     @nnx.jit(donate_argnames=() if not cfg.train.donate else ("model", "optimizer"))
     def train_step(model, optimizer, batch, rng_key):
-        model_batch = prepare_batch(cfg, batch, training=True, rng_key=rng_key)
+        if accum == 1:
+            model_batch = prepare_batch(cfg, batch, training=True, rng_key=rng_key)
 
-        def compute_loss(m):
-            out = m(model_batch)
-            return loss_fn(out, model_batch), out
+            def compute_loss(m):
+                out = m(model_batch)
+                return loss_fn(out, model_batch), out
 
-        (loss, out), grads = nnx.value_and_grad(compute_loss, has_aux=True)(model)
-        optimizer.update(model, grads)
-        metrics = metric_fn(out, model_batch)
-        metrics["loss"] = loss
+            (loss, out), grads = nnx.value_and_grad(compute_loss, has_aux=True)(model)
+            optimizer.update(model, grads)
+            metrics = metric_fn(out, model_batch)
+            metrics["loss"] = loss
+            return metrics
+
+        # ---- gradient accumulation over microbatches (nnx.scan threads
+        # the module's BN stats / rng counts through the loop) ----
+        B = jax.tree.leaves(batch)[0].shape[0]
+        assert B % accum == 0, f"batch {B} not divisible by grad_accum={accum}"
+        micro = jax.tree.map(
+            lambda v: v.reshape((accum, B // accum) + tuple(v.shape[1:])), batch
+        )
+        keys = jax.random.split(rng_key, accum)
+
+        @nnx.scan(in_axes=(nnx.Carry, 0, 0), out_axes=(nnx.Carry, 0))
+        def body(carry, mb, key):
+            model, gacc = carry
+            model_batch = prepare_batch(cfg, mb, training=True, rng_key=key)
+
+            def compute_loss(m):
+                out = m(model_batch)
+                return loss_fn(out, model_batch), out
+
+            (loss, out), grads = nnx.value_and_grad(compute_loss, has_aux=True)(
+                model
+            )
+            metrics = metric_fn(out, model_batch)
+            metrics["loss"] = loss
+            gacc = jax.tree.map(jnp.add, gacc, grads)
+            return (model, gacc), metrics
+
+        gzero = jax.tree.map(jnp.zeros_like, nnx.state(model, nnx.Param))
+        (model, gsum), metrics_stack = body((model, gzero), micro, keys)
+        gmean = jax.tree.map(lambda g: g / accum, gsum)
+        optimizer.update(model, gmean)
+        metrics = {}
+        for k, v in metrics_stack.items():
+            # counts (confusion matrix) sum; rates/losses average
+            metrics[k] = (
+                jnp.sum(v, axis=0)
+                if k == "confusion"
+                else jnp.mean(v.astype(jnp.float32), axis=0)
+            )
         return metrics
 
     return train_step

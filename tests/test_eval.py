@@ -106,6 +106,83 @@ def test_train_loop_smoke(tmp_path):
     model2, _ = train(cfg)
 
 
+def test_grad_accum_matches_monolithic_step():
+    """train.grad_accum (sequential microbatches + one averaged update — how
+    BASELINE config #3's batch 32 fits one chip) must reproduce the
+    monolithic step EXACTLY when the math is batch-size-independent: group
+    norm (no batch stats), dropout 0, augmentation off, 3D loss only (all
+    labels valid, so mean-of-means == global mean)."""
+    import jax
+    from mvpnet_tpu.data.pipeline import build_dataset
+    from mvpnet_tpu.train.solver import build_optimizer
+    from mvpnet_tpu.train.step import make_train_step
+
+    base = eval_cfg()
+    base = dataclasses.replace(
+        base,
+        model=dataclasses.replace(
+            base.model,
+            aux_2d_loss_weight=0.0,
+            unet=dataclasses.replace(base.model.unet, norm="group"),
+            pn2=dataclasses.replace(base.model.pn2, norm="group", dropout=0.0),
+        ),
+        data=dataclasses.replace(base.data, augment=False),
+        # SGD: update linear in the grads, so param parity reflects grad
+        # parity directly (Adam's first-step g/|g| amplifies float-
+        # associativity noise in near-zero grads into lr-sized sign flips)
+        solver=dataclasses.replace(base.solver, optimizer="sgd", momentum=0.0),
+    )
+    ds = build_dataset(base.data, batch_size=4, training=True, seed=0)
+    batch = jax.device_put(next(iter(ds)))
+
+    results = []
+    for accum in (1, 2, 4):
+        cfgv = dataclasses.replace(
+            base, train=dataclasses.replace(base.train, grad_accum=accum)
+        )
+        model, loss_fn, metric_fn = build_model(cfgv, rngs=nnx.Rngs(0))
+        opt = nnx.Optimizer(model, build_optimizer(cfgv.solver), wrt=nnx.Param)
+        step = make_train_step(cfgv, loss_fn, metric_fn)
+        m = step(model, opt, batch, jax.random.key(0))
+        leaves = [np.asarray(x) for x in jax.tree.leaves(nnx.state(model, nnx.Param))]
+        results.append((float(m["loss"]), np.asarray(m["confusion"]), leaves))
+
+    assert np.isfinite(results[0][0])
+    for loss, cm, leaves in results[1:]:
+        np.testing.assert_allclose(loss, results[0][0], rtol=1e-5)
+        np.testing.assert_array_equal(cm, results[0][1])
+        for a, b in zip(leaves, results[0][2]):
+            np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
+
+
+def test_remat_train_step_matches_baseline():
+    """train.remat (rematerialized 2D subnet, the HBM lever for the 32k /
+    64-view configs) must not change the training math — same loss and
+    accuracy as the un-remat step on the same batch/seed."""
+    import jax
+    from mvpnet_tpu.data.pipeline import build_dataset
+    from mvpnet_tpu.train.solver import build_optimizer
+    from mvpnet_tpu.train.step import make_train_step
+
+    cfg = eval_cfg()
+    out = []
+    for remat in (False, True):
+        cfgv = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, remat=remat)
+        )
+        model, loss_fn, metric_fn = build_model(cfgv, rngs=nnx.Rngs(0))
+        assert getattr(model, "remat_2d", False) == remat
+        opt = nnx.Optimizer(model, build_optimizer(cfgv.solver), wrt=nnx.Param)
+        step = make_train_step(cfgv, loss_fn, metric_fn)
+        ds = build_dataset(cfgv.data, batch_size=2, training=True, seed=0)
+        batch = jax.device_put(next(iter(ds)))
+        m = step(model, opt, batch, jax.random.key(0))
+        out.append((float(m["loss"]), float(m["accuracy"])))
+    assert np.isfinite(out[0][0])
+    np.testing.assert_allclose(out[0][0], out[1][0], rtol=1e-5)
+    np.testing.assert_allclose(out[0][1], out[1][1], atol=1e-6)
+
+
 @pytest.mark.parametrize("in_channels,colors", [(0, False), (3, True)])
 def test_pn2ssg_train_and_eval(tmp_path, in_channels, colors):
     """The pn2ssg baseline trains through the REAL train loop and evaluates
