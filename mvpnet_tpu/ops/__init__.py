@@ -250,11 +250,22 @@ def ball_query(centers, points, radius: float, nsample: int, valid_mask=None, im
     )
 
 
-def three_nn_interpolate(dense_xyz, sparse_xyz, sparse_feat, eps: float = 1e-8):
-    """Inverse-distance-weighted 3-NN upsampling; see reference version."""
-    return _batch_local(
-        lambda d, s, f: _ref.three_nn_interpolate(d, s, f, eps=eps),
-        dense_xyz,
-        sparse_xyz,
-        sparse_feat,
-    )
+def three_nn_interpolate(dense_xyz, sparse_xyz, sparse_feat, eps: float = 1e-8, impl: str | None = None):
+    """Inverse-distance-weighted 3-NN upsampling (reference contract).
+
+    The 3-NN search goes through the DISPATCHED kNN (Pallas on TPU): the
+    reference jnp path materializes the dense x sparse distance matrix and
+    runs XLA top_k over it — 600+ ms for the 102400 x 8192 FP1 stage of
+    config #4, where the tiled kernel does the same in ~10 ms (the round-4
+    net3d decomposition, docs/PERF_NOTES.md)."""
+
+    def body(d, s, f):
+        import jax.numpy as jnp
+
+        d2, idx = _knn_dispatch(d, s, 3, None, impl, False)
+        w = 1.0 / (d2 + eps)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        neigh = _ref.group_points(f, idx)
+        return jnp.sum(neigh * w[..., None].astype(neigh.dtype), axis=2)
+
+    return _batch_local(body, dense_xyz, sparse_xyz, sparse_feat)

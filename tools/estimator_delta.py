@@ -114,33 +114,61 @@ def main():
     model, _ = train(cfg, resume=False)
     model.eval()
 
-    ds = build_dataset(cfg.data, batch_size=1, training=False, seed=11)
-    scenes = list(ds.scenes)
+    # >=10 fresh scenes (round-3 VERDICT weak #7: two scenes were too few
+    # to trust the delta's sign)
+    from mvpnet_tpu.data.synthetic import make_scene
+    from mvpnet_tpu.eval.scene_fused import predict_scene_fused
+
+    scenes = [
+        make_scene(
+            800 + i,
+            num_points=15000,
+            num_frames=8,
+            height=cfg.data.image_height,
+            width=cfg.data.image_width,
+            num_classes=cfg.data.num_classes,
+        )
+        for i in range(10)
+    ]
 
     mesh = make_mesh(MeshConfig(data=4, space=2))
 
-    ev_single = Evaluator(cfg.data.num_classes, cfg.data.ignore_label)
-    ev_sharded = Evaluator(cfg.data.num_classes, cfg.data.ignore_label)
-    agree = []
+    evs = {
+        k: Evaluator(cfg.data.num_classes, cfg.data.ignore_label)
+        for k in ("single", "sharded", "fused")
+    }
+    agree_ss, agree_fs = [], []
     for scene in scenes:
-        l_single = predict_scene(model, cfg, scene, batch_size=4)
-        l_sharded = predict_scene_sharded(model, cfg, scene, mesh)
-        p_single = l_single.argmax(1)
-        p_sharded = l_sharded.argmax(1)
-        ev_single.update(p_single, scene.labels)
-        ev_sharded.update(p_sharded, scene.labels)
-        agree.append(float((p_single == p_sharded).mean()))
+        preds = {
+            "single": predict_scene(model, cfg, scene, batch_size=4).argmax(1),
+            "sharded": predict_scene_sharded(model, cfg, scene, mesh).argmax(1),
+            "fused": predict_scene_fused(model, cfg, scene).argmax(1),
+        }
+        for k, p in preds.items():
+            evs[k].update(p, scene.labels)
+        agree_ss.append(float((preds["single"] == preds["sharded"]).mean()))
+        agree_fs.append(float((preds["fused"] == preds["sharded"]).mean()))
 
     out = {
         "scenes": len(scenes),
-        "single_device_miou": float(ev_single.results()["miou"]),
-        "sharded_miou": float(ev_sharded.results()["miou"]),
-        "pred_agreement": float(np.mean(agree)),
+        "single_device_miou": float(evs["single"].results()["miou"]),
+        "sharded_miou": float(evs["sharded"].results()["miou"]),
+        "fused_miou": float(evs["fused"].results()["miou"]),
+        "agreement_single_vs_sharded": float(np.mean(agree_ss)),
+        "agreement_fused_vs_sharded": float(np.mean(agree_fs)),
         "note": (
-            "different estimators by design: per-chunk view sets vs one "
-            "scene-level view set (eval/sharded_scene.py docstring)"
+            "single (per-chunk view sets) is a DIFFERENT estimator from "
+            "sharded/fused (one scene-level view set) by design — "
+            "eval/sharded_scene.py docstring. fused (eval/scene_fused.py) "
+            "is the sharded estimator on one device: its agreement with "
+            "sharded bounds pure sharding effects, so sharded mIoU is "
+            "quotable against the fused single-device number 1:1 "
+            "(round-3 VERDICT next #5)."
         ),
     }
+    os.makedirs("runs", exist_ok=True)
+    with open("runs/r4_estimator_delta.json", "w") as fh:
+        json.dump(out, fh, indent=2)
     print(json.dumps(out, indent=2))
 
 
