@@ -155,7 +155,13 @@ def predict_scene(
     )
     logits_acc = np.zeros((len(scene.points), cfg.data.num_classes), np.float32)
     counts = np.zeros(len(scene.points), np.int32)
-    workers = cfg.data.num_workers if num_workers is None else num_workers
+    if num_workers is None:
+        # clamp to physical cores: on this 2-core dev host an 8-thread pool
+        # measured 0.89-0.95x (contention), while real TPU hosts have the
+        # cores to win (runs/r4_scene_eval_host.json)
+        workers = min(cfg.data.num_workers, os.cpu_count() or 1)
+    else:
+        workers = num_workers
 
     samples, idx_blocks = [], []
     from collections import deque
