@@ -92,8 +92,9 @@ def prepare_batch(cfg: Config, batch: dict, *, training: bool, rng_key=None) -> 
         "images": images,
         "image_xyz": image_xyz,
         "image_valid": valid,
-        "seg_label": batch["seg_label"],
     }
+    if "seg_label" in batch:  # absent in pure-inference batches (serving)
+        out["seg_label"] = batch["seg_label"]
     if "colors" in batch:
         # per-point RGB for the xyz+RGB ablation models (models/build.PN2Seg)
         colors = batch["colors"]

@@ -106,6 +106,106 @@ def test_train_loop_smoke(tmp_path):
     model2, _ = train(cfg)
 
 
+def test_export_inference_roundtrip(tmp_path, rng):
+    """jax.export artifact (params baked in) reproduces the live forward
+    after serialize -> deserialize, with NO access to the model objects
+    (the serving contract; eval/export_model.py)."""
+    import jax
+    from __graft_entry__ import _example_batch
+    from mvpnet_tpu.eval.export_model import export_inference, load_inference
+    from mvpnet_tpu.train.step import prepare_batch
+
+    cfg = eval_cfg()
+    model, _, _ = build_model(cfg, rngs=nnx.Rngs(3))
+    art = export_inference(model, cfg, str(tmp_path / "art"), batch_size=2)
+
+    raw = _example_batch(
+        rng,
+        B=2,
+        N=cfg.data.num_points,
+        V=cfg.data.num_views_eval,
+        H=cfg.data.image_height,
+        W=cfg.data.image_width,
+    )
+    loaded = load_inference(art)
+    batch = {k: raw[k] for k in loaded.meta["input_spec"]}
+    got = np.asarray(loaded(batch))
+
+    model.eval()
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def direct(state, batch):
+        m = nnx.merge(graphdef, state)
+        return m(prepare_batch(cfg, batch, training=False))[0]
+
+    want = np.asarray(direct(state, batch))
+    assert got.shape == (2, cfg.data.num_points, cfg.data.num_classes)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_serve_artifact_http(tmp_path, rng):
+    """The serving CLI (stdlib HTTP) answers /meta, /healthz and /predict
+    from an exported artifact; /predict logits match the live forward."""
+    import io
+    import threading
+    import urllib.request
+
+    from __graft_entry__ import _example_batch
+    from mvpnet_tpu.cli.serve_3d import serve
+    from mvpnet_tpu.eval.export_model import export_inference
+
+    cfg = eval_cfg()
+    model, _, _ = build_model(cfg, rngs=nnx.Rngs(3))
+    art = export_inference(model, cfg, str(tmp_path / "art"), batch_size=1)
+
+    httpd = serve(art, port=0)  # ephemeral port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        meta = json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/meta", timeout=30
+            ).read()
+        )
+        assert "input_spec" in meta
+        raw = _example_batch(
+            rng,
+            B=1,
+            N=cfg.data.num_points,
+            V=cfg.data.num_views_eval,
+            H=cfg.data.image_height,
+            W=cfg.data.image_width,
+        )
+        buf = io.BytesIO()
+        np.savez(buf, **{k: raw[k] for k in meta["input_spec"]})
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(), method="POST"
+        )
+        with np.load(io.BytesIO(urllib.request.urlopen(req, timeout=120).read())) as z:
+            logits = z["logits"]
+        assert logits.shape == (1, cfg.data.num_points, cfg.data.num_classes)
+        assert np.isfinite(logits).all()
+        # bad request: missing inputs -> 400, server stays alive
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b"junk", method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert (
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30
+            ).status
+            == 200
+        )
+    finally:
+        httpd.shutdown()
+
+
 def test_grad_accum_matches_monolithic_step():
     """train.grad_accum (sequential microbatches + one averaged update — how
     BASELINE config #3's batch 32 fits one chip) must reproduce the
