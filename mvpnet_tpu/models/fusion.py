@@ -133,8 +133,8 @@ class MVPNet3D(nnx.Module):
             # refs_coherent stays False: scanline pixel order interleaves
             # rows across the whole frustum, so unsorted ref tiles carry wide
             # AABBs and the gate prunes little — the kernel's Morton sort
-            # pays for itself (on-chip A/B at B4 8192x96k: sorted 15.4 ms vs
-            # natural 26.8 ms per batch; runs/r4_fusion_knn_ab.json)
+            # pays for itself (on-chip A/B at B4 8192x96k: sorted 14.0 ms vs
+            # natural 20.7 ms per batch; runs/r4_fusion_knn_ab.json)
             _, knn_idx = ops.knn(points, pixel_xyz, self.cfg.aggregation.k)
             grouped_feat = ops.group_points(pixel_feat, knn_idx)  # (B,N,K,C2d)
             grouped_xyz = ops.group_points(pixel_xyz, knn_idx)  # (B,N,K,3)

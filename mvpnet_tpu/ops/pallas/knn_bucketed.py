@@ -64,6 +64,11 @@ _BIG_N = 1 << 18
 # config #4 vs 114.7 with the grid geometry; docs/PERF_NOTES.md)
 _DEMAND_TILE_M = 128
 _DEMAND_TILE_N_BIG = 4096
+# ...and at FUSION scale (96k refs) even smaller query tiles win: TM=64
+# measured 14.2 vs 15.6 ms at TM=256 (round-4 sweep,
+# runs/r4_fusion_knn_sweep.json) — narrower tiles tighten the running
+# worst-k bound faster, so the while_loop exits earlier
+_DEMAND_TILE_M_SMALL = 64
 _SUB = 8  # rows per gated subgroup (one f32 sublane)
 _MAX_K = 8
 # ref padding sentinel: beyond the 1e9 masked-ref sentinel so padding never
@@ -486,7 +491,8 @@ def _knn_forward_demand(
     N = refs.shape[1]
     big = N >= _BIG_N
     tile_m = tile_m or min(
-        _DEMAND_TILE_M if big else _TILE_M, max(_SUB, M)
+        _DEMAND_TILE_M if big else min(_DEMAND_TILE_M_SMALL, _TILE_M),
+        max(_SUB, M),
     )
     if tile_n is None:
         tile_n = _DEMAND_TILE_N_BIG if big else _TILE_N
@@ -747,7 +753,10 @@ def knn_prepared(queries, prepared: PreparedRefs, k: int):
     N_pad = prepared.rT4.shape[-1]
     tile_n = prepared.tile_n
     big = N_pad >= _BIG_N
-    tile_m = min(_DEMAND_TILE_M if big else _TILE_M, max(_SUB, M))
+    tile_m = min(
+        _DEMAND_TILE_M if big else min(_DEMAND_TILE_M_SMALL, _TILE_M),
+        max(_SUB, M),
+    )
     sub_gate = big
 
     q = queries.astype(jnp.float32)
