@@ -261,6 +261,45 @@ def test_sharded_scene_matches_single_device_oracle(devices, space):
     np.testing.assert_allclose(got, acc, atol=2e-4, rtol=1e-4)
 
 
+def test_batch_local_ops_match_unmeshed(devices, rng):
+    """ops.set_data_mesh pins the index ops batch-local via shard_map (the
+    partitioner otherwise all-gathers their top_k operands — 15.7 GB/step
+    at config-#2 DP, runs/r4_comm_model.json). Results must be identical
+    to the unmeshed path, and non-divisible batches must fall through."""
+    from mvpnet_tpu import ops
+
+    pts = jnp.asarray(rng.uniform(-2, 2, (8, 256, 3)).astype(np.float32))
+    refs = jnp.asarray(rng.uniform(-2, 2, (8, 512, 3)).astype(np.float32))
+    feat = jnp.asarray(rng.normal(size=(8, 64, 16)).astype(np.float32))
+    sparse = refs[:, :64]
+
+    def run_all():
+        return {
+            "knn": ops.knn(pts, refs, 3),
+            "fps": ops.farthest_point_sample(pts, 32),
+            "bq": ops.ball_query(pts[:, :32], pts, 0.4, 8),
+            "tnn": ops.three_nn_interpolate(pts, sparse, feat),
+        }
+
+    odd = pts[:3]
+    ops.set_data_mesh(None)
+    want = jax.tree.map(np.asarray, run_all())
+    want_odd = np.asarray(ops.farthest_point_sample(odd, 16))
+    mesh = make_mesh(MeshConfig(data=4, space=2))
+    try:
+        ops.set_data_mesh(mesh)
+        got = jax.tree.map(np.asarray, run_all())
+        # sharded outputs land distributed; values must be identical
+        for k in want:
+            jax.tree.map(np.testing.assert_array_equal, got[k], want[k])
+        # non-divisible batch: guard must fall through to the plain path
+        np.testing.assert_array_equal(
+            np.asarray(ops.farthest_point_sample(odd, 16)), want_odd
+        )
+    finally:
+        ops.set_data_mesh(None)
+
+
 def test_scene_fused_matches_sharded_estimator(devices):
     """eval/scene_fused.py (single-device scene-view-set mode with a
     prepared pixel cloud) is estimator-EQUIVALENT to the space-sharded
