@@ -7,8 +7,9 @@ For each hot op it reports pallas vs jnp-reference wall time and a
 speed-of-light estimate from the op's arithmetic/memory footprint:
   * kNN/ball query: VPU elementwise ops (distance + selection passes)
   * FPS: sequential npoint sweeps over N
-Timing materializes outputs via np.asarray — on the tunneled TPU platform
-jax.block_until_ready can return early.
+Timing syncs via a 4-element D2H (round-4 methodology: full np.asarray
+bills MB-scale outputs to the ~38 MB/s tunnel; jax.block_until_ready can
+return early on the axon platform).
 """
 from __future__ import annotations
 
@@ -23,7 +24,12 @@ import jax
 import jax.numpy as jnp
 
 from mvpnet_tpu.ops import reference as ref
-from mvpnet_tpu.ops.pallas import ballquery as pbq, fps as pfps, knn as pknn
+from mvpnet_tpu.ops.pallas import (
+    ballquery as pbq,
+    fps as pfps,
+    knn as pknn,
+    knn_bucketed as pgated,
+)
 
 # rough v5e per-core vector throughput (f32 elementwise ops/s); used only to
 # contextualize the SOL fraction, not as a hard claim
@@ -31,12 +37,15 @@ VPU_OPS = 0.9e12
 
 
 def bench(f, *args, iters=10):
+    def sync(o):
+        jax.tree.map(lambda a: np.asarray(jnp.ravel(a)[:4]), o)
+
     out = f(*args)
-    _ = jax.tree.map(np.asarray, out)
+    sync(out)
     t0 = time.perf_counter()
     for _i in range(iters):
         out = f(*args)
-    _ = jax.tree.map(np.asarray, out)
+    sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -50,11 +59,22 @@ def main():
     r = jnp.asarray(rng.uniform(-2, 2, (B, N, 3)).astype(np.float32))
     t_pal = bench(jax.jit(lambda q, r: pknn.knn(q, r, K)), q, r)
     ops_knn = B * M * N * (9 + 1 + 3 * 4)  # dist + rowmin + k merge passes
-    results["knn"] = {
+    results["knn_brute"] = {
         "shape": f"B{B} M{M} N{N} k{K}",
         "pallas_ms": round(t_pal * 1e3, 2),
         "reference_ms": None,  # jnp path OOMs at this scale (11.7GB dist)
         "sol_fraction": round(ops_knn / VPU_OPS / t_pal, 3),
+    }
+
+    # --- gated demand-paged kNN (the PRODUCTION kernel at this scale) —
+    # it provably skips most of the brute work, so "sol_fraction" is
+    # reported against the brute op count (values >1 = work skipped)
+    t_gated = bench(jax.jit(lambda q, r: pgated.knn(q, r, K)), q, r)
+    results["knn_gated"] = {
+        "shape": f"B{B} M{M} N{N} k{K}",
+        "pallas_ms": round(t_gated * 1e3, 2),
+        "vs_brute": round(t_pal / t_gated, 2),
+        "brute_sol_fraction": round(ops_knn / VPU_OPS / t_gated, 3),
     }
 
     # --- FPS at SA1 scale
