@@ -148,6 +148,13 @@ class DataConfig:
     # scenes kept resident by the lazy scene store (scannet datasets stream
     # per-scene npz files on demand; data/scannet.SceneStore)
     cache_scenes: int = 32
+    # synthetic-corpus size (data.name=synthetic): train scene count (val
+    # uses half) and objects per scene. The round-3 e2e run left 11/20
+    # classes at 0.0 IoU mostly because 4 scenes x 6 random-class objects
+    # cannot cover 18 object classes — scale these up for convergence runs
+    # (tools/e2e_run.py).
+    synthetic_scenes: int = 4
+    synthetic_objects: int = 6
     # frame-mode sampling locality: frames drawn per scene visit (scene
     # picked proportional to its frame count, so the per-frame marginal
     # stays uniform); amortizes lazy scene loads K-fold (data/frames.py)

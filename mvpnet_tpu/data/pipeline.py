@@ -442,13 +442,14 @@ def build_dataset(cfg: DataConfig, *, batch_size: int, training: bool, seed: int
     loads preprocessed scenes from ``cfg.root`` (see data/scannet.py).
     """
     if cfg.name == "synthetic":
-        n_scenes = 4 if training else 2
+        n_scenes = cfg.synthetic_scenes if training else max(cfg.synthetic_scenes // 2, 2)
         scenes = [
             make_scene(
                 seed=seed * 1000 + i + (0 if training else 500),
                 height=cfg.image_height,
                 width=cfg.image_width,
                 num_classes=cfg.num_classes,
+                num_objects=cfg.synthetic_objects,
                 ignore_label=cfg.ignore_label,
             )
             for i in range(n_scenes)

@@ -398,6 +398,138 @@ def _demand_kernel(
     i_out[0] = best_i[:]
 
 
+def _vmem_kernel(
+    q_ref, r_ref, order_hbm, lb_hbm, d_out, i_out,
+    best_d, best_i, order_s, lb_s, meta_sems,
+    *, k, tile_n, n_tiles, n_qtiles,
+):
+    """Demand-gated kNN with the WHOLE sorted ref cloud VMEM-resident.
+
+    The round-5 visit-count simulation (runs/r5_knn_gate_sim.json) showed the
+    demand-paged kernel at fusion scale spends more on per-visit OVERHEAD
+    (~1.2 us: DMA start/wait, semaphores, prefetch branch, drain logic) than
+    on the visited tiles' arithmetic — and that the overhead floor prevents
+    the smaller tiles whose simulated work fraction is 2-3x lower from ever
+    paying. At 96k refs the sorted cloud is ~1.5 MB: it fits in VMEM whole.
+    The refs ride a (1, nt, 4, TN) BlockSpec whose index_map depends only on
+    the batch index, so Pallas's block revisiting fetches them ONCE per
+    batch row; the lb-sorted visit loop indexes tiles on the OUTER (untiled)
+    dim — no DMA, no semaphores, no speculative prefetch to drain.
+    """
+    b = pl.program_id(0)
+    im = pl.program_id(1)
+
+    row = b * n_qtiles + im
+    ometa = pltpu.make_async_copy(order_hbm.at[row], order_s, meta_sems.at[0])
+    lmeta = pltpu.make_async_copy(lb_hbm.at[row], lb_s, meta_sems.at[1])
+    ometa.start()
+    lmeta.start()
+
+    best_d[:] = jnp.full(best_d.shape, jnp.inf, jnp.float32)
+    best_i[:] = jnp.zeros(best_i.shape, jnp.int32)
+    q = q_ref[0]  # (TM, 4) — zero 4th coordinate
+    ometa.wait()
+    lmeta.wait()
+
+    def cond(carry):
+        t, worst = carry
+        lb_t = lb_s[0, jnp.minimum(t, n_tiles - 1)]
+        return jax.lax.select(t < n_tiles, lb_t < worst, False)
+
+    def body(carry):
+        t, _worst = carry
+        tile_id = order_s[0, t]
+        r = r_ref[0, tile_id]  # (4, TN): dynamic index on the outer dim
+        dx = q[:, 0:1] - r[0:1, :]
+        dy = q[:, 1:2] - r[1:2, :]
+        dz = q[:, 2:3] - r[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz  # (TM, TN)
+        col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        row_min = jnp.min(d2, axis=1)
+        improves = jnp.any(row_min < best_d[:, k - 1])
+
+        @pl.when(improves)
+        def _merge():
+            d2m = d2
+            bd, bi = best_d[:], best_i[:]
+            for _ in range(k):
+                cand_d = jnp.min(d2m, axis=1)
+                cand_a = jnp.argmin(d2m, axis=1).astype(jnp.int32)
+                cand_i = cand_a + tile_id * tile_n
+                bd, bi = _merge_candidate(bd, bi, cand_d, cand_i)
+                d2m = jnp.where(col == cand_a[:, None], jnp.inf, d2m)
+            best_d[:] = bd
+            best_i[:] = bi
+
+        return t + 1, jnp.max(best_d[:, k - 1])
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.inf))
+    d_out[0] = best_d[:]
+    i_out[0] = best_i[:]
+
+
+def _vmem_call(q4, rT4, order, lb_sorted, *, k, tile_m, tile_n):
+    """Invoke _vmem_kernel on prepped operands (same contract as
+    _demand_call; refs reshaped to tile-outer (B, nt, 4, TN) layout)."""
+    B, M_pad, _ = q4.shape
+    N_pad = rT4.shape[-1]
+    nt = N_pad // tile_n
+    r4v = jnp.swapaxes(rT4.reshape(B, 4, nt, tile_n), 1, 2)  # (B, nt, 4, TN)
+    nt_pad = pl.cdiv(nt, 128) * 128
+    if nt_pad > nt:
+        order = jnp.pad(order, ((0, 0), (0, 0), (0, nt_pad - nt)))
+        lb_sorted = jnp.pad(
+            lb_sorted, ((0, 0), (0, 0), (0, nt_pad - nt)),
+            constant_values=jnp.inf,
+        )
+    n_qtiles = M_pad // tile_m
+    order_rows = order.reshape(B * n_qtiles, 1, nt_pad)
+    lb_rows = lb_sorted.reshape(B * n_qtiles, 1, nt_pad)
+
+    grid = (B, n_qtiles)
+    kernel = functools.partial(
+        _vmem_kernel, k=k, tile_n=tile_n, n_tiles=nt, n_qtiles=n_qtiles
+    )
+    d_s, i_s = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_m, 4), lambda b, im: (b, im, 0), memory_space=pltpu.VMEM
+            ),
+            # whole ref cloud; index_map ignores im -> fetched once per b
+            # (Pallas block revisiting), resident across the qtile sweep
+            pl.BlockSpec(
+                (1, nt, 4, tile_n),
+                lambda b, im: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # visit order
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # lb
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_m, k), lambda b, im: (b, im, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_m, k), lambda b, im: (b, im, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, k), jnp.float32),
+            pltpu.VMEM((tile_m, k), jnp.int32),
+            pltpu.SMEM((1, nt_pad), jnp.int32),
+            pltpu.SMEM((1, nt_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, M_pad, k), jnp.int32),
+        ],
+    )(q4, r4v, order_rows, lb_rows)
+    return d_s, i_s
+
+
 def _demand_call(q4, rT4, order, lb_sorted, *, k, tile_m, tile_n, sub_gate):
     """Invoke _demand_kernel on prepped operands.
 
@@ -465,6 +597,16 @@ def _demand_call(q4, rT4, order, lb_sorted, *, k, tile_m, tile_n, sub_gate):
     return d_s, i_s
 
 
+def _inverse_perm(order):
+    """Invert a (B, M) permutation by scatter — one pass, vs argsort's
+    O(M log^2 M) sorting-network passes (measured ~1-2 ms at M=8192 on v5e)."""
+    B, M = order.shape
+    iota = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
+    return jnp.zeros((B, M), jnp.int32).at[
+        jnp.arange(B)[:, None], order
+    ].set(iota, mode="drop", unique_indices=True)
+
+
 def _unmap(d_s, i_s, q_order, r_order, M, N):
     """Map kernel outputs back to original query order / ref indices."""
     B = d_s.shape[0]
@@ -476,28 +618,47 @@ def _unmap(d_s, i_s, q_order, r_order, M, N):
         i_orig = jnp.take_along_axis(
             r_order, jnp.clip(i_s, 0, N - 1).reshape(B, -1), axis=1
         ).reshape(B, M, k)
-    inv = jnp.argsort(q_order, axis=1)
+    inv = _inverse_perm(q_order)
     d = jnp.take_along_axis(d_s, inv[..., None], axis=1)
     i = jnp.take_along_axis(i_orig, inv[..., None], axis=1)
     return d, i
 
 
+# below this ref count the sorted cloud is VMEM-resident (<=2 MB + the
+# sublane pad; _vmem_kernel) — no per-visit DMA machinery
+_VMEM_N_MAX = 1 << 17
+_VMEM_TILE_M = 64
+_VMEM_TILE_N = 1024
+
+
 def _knn_forward_demand(
     queries, refs, k: int, *, tile_m=None, tile_n=None, sub_gate=None,
-    sort_refs=True,
+    sort_refs=True, use_vmem=None,
 ):
-    """Demand-paged gated kNN forward (see _demand_kernel)."""
+    """Demand-paged gated kNN forward (see _demand_kernel / _vmem_kernel)."""
     B, M, _ = queries.shape
     N = refs.shape[1]
     big = N >= _BIG_N
-    tile_m = tile_m or min(
-        _DEMAND_TILE_M if big else min(_DEMAND_TILE_M_SMALL, _TILE_M),
-        max(_SUB, M),
-    )
-    if tile_n is None:
-        tile_n = _DEMAND_TILE_N_BIG if big else _TILE_N
-    if sub_gate is None:
-        sub_gate = big
+    if use_vmem is None:
+        # measured at fusion scale (runs/r5_vmem_knn_bench.json): the
+        # VMEM-resident variant is a WASH vs the demand kernel at the best
+        # geometry (12.0 vs 11.7 ms) — the per-visit cost is predication/
+        # loop structure, not DMA. Demand stays the production path; the
+        # vmem kernel remains available for sweeps.
+        use_vmem = False
+    if use_vmem:
+        tile_m = tile_m or min(_VMEM_TILE_M, max(_SUB, M))
+        tile_n = tile_n or _VMEM_TILE_N
+        sub_gate = False
+    else:
+        tile_m = tile_m or min(
+            _DEMAND_TILE_M if big else min(_DEMAND_TILE_M_SMALL, _TILE_M),
+            max(_SUB, M),
+        )
+        if tile_n is None:
+            tile_n = _DEMAND_TILE_N_BIG if big else _TILE_N
+        if sub_gate is None:
+            sub_gate = big
 
     q_sorted, r_sorted, q_order, r_order, order, lb_sorted, M_pad, N_pad = _prepare(
         queries, refs, tile_m, tile_n, sort_refs=sort_refs
@@ -509,10 +670,15 @@ def _knn_forward_demand(
     rT4 = jnp.pad(
         jnp.swapaxes(r_sorted, 1, 2), ((0, 0), (0, 1), (0, 0))
     )  # (B, 4, N_pad)
-    d_s, i_s = _demand_call(
-        q4, rT4, order, lb_sorted,
-        k=k, tile_m=tile_m, tile_n=tile_n, sub_gate=sub_gate,
-    )
+    if use_vmem:
+        d_s, i_s = _vmem_call(
+            q4, rT4, order, lb_sorted, k=k, tile_m=tile_m, tile_n=tile_n
+        )
+    else:
+        d_s, i_s = _demand_call(
+            q4, rT4, order, lb_sorted,
+            k=k, tile_m=tile_m, tile_n=tile_n, sub_gate=sub_gate,
+        )
     return _unmap(d_s, i_s, q_order, r_order, M, N)
 
 
@@ -640,7 +806,7 @@ def _knn_forward(
             r_order, jnp.clip(i_s, 0, N - 1).reshape(B, -1), axis=1
         ).reshape(B, M, k)
     # unsort the queries
-    inv = jnp.argsort(q_order, axis=1)
+    inv = _inverse_perm(q_order)
     d = jnp.take_along_axis(d_s, inv[..., None], axis=1)
     i = jnp.take_along_axis(i_orig, inv[..., None], axis=1)
     return d, i

@@ -87,6 +87,8 @@ def small_gated_tiles(monkeypatch):
     monkeypatch.setattr(pgated, "_TILE_M", 32)
     monkeypatch.setattr(pgated, "_TILE_N", 64)
     monkeypatch.setattr(pgated, "_TILE_N_BIG", 64)
+    monkeypatch.setattr(pgated, "_VMEM_TILE_M", 32)
+    monkeypatch.setattr(pgated, "_VMEM_TILE_N", 64)
 
 
 @pytest.mark.parametrize(

@@ -8,11 +8,20 @@ differences are true marginal device costs inside one jit:
 
   P0: prepare (lift) only
   P1: + 2D net
-  P2: + fusion kNN + gather + aggregation
-  P3: + PN2SSG (= the full forward)
+  P2: + fusion kNN
+  P3: + neighbor gathers (group_points x2)
+  P4: + aggregation MLP
+  P5: + PN2SSG (= the full forward)
+
+Round-5 fix (round-4 VERDICT weak #3): every stage's consumed arrays are
+perturbed by the carry — round 4 only perturbed `points`, so the net2d
+stage (which doesn't consume points) could be CSE'd/DCE'd across loop
+iterations and its marginal read an implausible 0.07 ms while the
+standalone segment measured 8.4 ms. Perturbing `images` as well forces the
+2D net to actually run every iteration.
 
 Run on the TPU host: python tools/eval_marginals.py
-Writes runs/r4_eval_marginals.json.
+Writes runs/r5_eval_marginals.json.
 """
 from __future__ import annotations
 
@@ -52,7 +61,10 @@ def main():
         m = nnx.merge(graphdef, state)
         mb = prepare_batch(cfg, b, training=False)
         if level == 0:
-            return jnp.sum(mb["image_xyz"][0, 0, 0, 0]) * 1e-6
+            return (
+                jnp.sum(mb["image_xyz"][0, 0, 0, 0]) * 1e-6
+                + jnp.sum(mb["images"][0, 0, 0, 0]) * 1e-6
+            )
         images = mb["images"]
         feat2d, _ = m.net_2d(images.reshape(B * V, H, W, 3))
         if level == 1:
@@ -60,22 +72,43 @@ def main():
         pixel_feat = feat2d.reshape(B, V * H * W, -1)
         pixel_xyz = mb["image_xyz"].reshape(B, V * H * W, 3)
         _, idx = ops.knn(mb["points"], pixel_xyz, k)
+        if level == 2:
+            # consume feat2d too so the 2D net isn't dead at this level
+            return (
+                jnp.sum(idx[0, 0]).astype(jnp.float32) * 1e-6
+                + jnp.sum(feat2d[0, 0, 0].astype(jnp.float32)) * 1e-6
+            )
         gf = ops.group_points(pixel_feat, idx)
         gx = ops.group_points(pixel_xyz, idx)
+        if level == 3:
+            return (
+                jnp.sum(gf[0, 0, 0].astype(jnp.float32)) * 1e-6
+                + jnp.sum(gx[0, 0, 0]) * 1e-6
+            )
         fused = m.aggregation(mb["points"], gx, gf)
-        if level == 2:
+        if level == 4:
             return jnp.sum(fused[0, 0].astype(jnp.float32)) * 1e-6
         logits = m.net_3d(mb["points"], fused)
         return jnp.sum(logits[0, 0]) * 1e-6
 
     out = {}
     prev = None
-    names = ["prepare", "+net2d", "+knn_gather_agg", "+net3d(full)"]
-    for level in range(4):
+    names = [
+        "prepare",
+        "+net2d",
+        "+fusion_knn",
+        "+gathers",
+        "+aggregation",
+        "+net3d(full)",
+    ]
+    for level in range(6):
         def rolled(state, batch, iters, level=level):
             def body(i, carry):
                 b = dict(batch)
+                # perturb EVERY consumed input so no stage can be hoisted
+                # out of the loop (see module docstring)
                 b["points"] = batch["points"] + carry * 1e-30
+                b["images"] = batch["images"] + carry * 1e-30
                 return stage(level, state, b)
 
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
@@ -91,7 +124,7 @@ def main():
         prev = ms
 
     os.makedirs("runs", exist_ok=True)
-    with open("runs/r4_eval_marginals.json", "w") as fh:
+    with open("runs/r5_eval_marginals.json", "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out))
 
