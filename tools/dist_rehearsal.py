@@ -118,7 +118,7 @@ def _build_and_step(mesh, batch_arrays):
     train_step = make_train_step(cfg, loss_fn, metric_fn)
     key = jax.jit(lambda: jax.random.key(0), out_shardings=rep)()
     metrics = train_step(model, optimizer, batch_arrays, key)
-    return float(metrics["loss"])
+    return float(metrics["loss"]), model
 
 
 def worker(marker_dir: str) -> None:
@@ -155,9 +155,9 @@ def worker(marker_dir: str) -> None:
     for k, v in gbatch.items():
         assert v.shape[0] == GLOBAL_BATCH, (k, v.shape)
 
-    loss = _build_and_step(mesh, gbatch)
+    loss, stepped_model = _build_and_step(mesh, gbatch)
 
-    # primary-only write gating (the checkpoint/logging pattern)
+    # primary-only write gating (the logging/metric-writer pattern)
     if bootstrap.is_primary():
         with open(os.path.join(marker_dir, f"marker_{pid}"), "w") as fh:
             fh.write("primary")
@@ -165,6 +165,39 @@ def worker(marker_dir: str) -> None:
     markers = sorted(
         f for f in os.listdir(marker_dir) if f.startswith("marker_")
     )
+
+    # real orbax checkpoint round-trip in the 2-process runtime — the train
+    # loop's pattern (ALL processes call save/restore; orbax coordinates and
+    # process 0 writes metadata). The saved model must carry GLOBAL arrays
+    # (the post-step model does; a model built outside jit holds
+    # process-local arrays, which orbax correctly rejects in multi-host —
+    # verified by an earlier revision of this tool). Restore into a model
+    # whose target state is global-replicated and check a param leaf.
+    from flax import nnx
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mvpnet_tpu.models import build_model
+    from mvpnet_tpu.train.checkpoint import Checkpointer
+    from mvpnet_tpu.train.solver import build_optimizer
+
+    cfg = _tiny_cfg()
+    ck = Checkpointer(os.path.join(marker_dir, "ckpt"), keep=1)
+    ck.save(0, stepped_model, metrics={"miou": 0.5})
+    ck.wait()
+
+    def _init2():
+        m, _, _ = build_model(cfg, rngs=nnx.Rngs(1))  # different init
+        return nnx.split(m)[1]
+
+    model2, _, _ = build_model(cfg, rngs=nnx.Rngs(1))
+    graphdef2, _ = nnx.split(model2)
+    state2 = jax.jit(_init2, out_shardings=NamedSharding(mesh, P()))()
+    model2 = nnx.merge(graphdef2, state2)
+    step = ck.restore(model2)
+    ck.close()
+    leaf_a = jax.tree.leaves(nnx.state(stepped_model, nnx.Param))[0]
+    leaf_b = jax.tree.leaves(nnx.state(model2, nnx.Param))[0]
+    ckpt_ok = bool(step == 0 and np.allclose(np.asarray(leaf_a), np.asarray(leaf_b)))
     print(
         "WORKER_RESULT "
         + json.dumps(
@@ -176,6 +209,7 @@ def worker(marker_dir: str) -> None:
                 "loss": loss,
                 "markers_seen": markers,
                 "is_primary": bool(bootstrap.is_primary()),
+                "orbax_roundtrip_ok": ckpt_ok,
             }
         ),
         flush=True,
@@ -192,7 +226,7 @@ def baseline() -> None:
     assert jax.device_count() == N_PROCS * DEVS_PER_PROC
     mesh = make_mesh(cfg.mesh)
     batch = shard_batch(mesh, _global_batch())
-    loss = _build_and_step(mesh, batch)
+    loss, _ = _build_and_step(mesh, batch)
     print("BASELINE_RESULT " + json.dumps({"loss": loss}), flush=True)
 
 
@@ -293,6 +327,7 @@ def launch() -> None:
         and losses_equal
         and vs_base
         and all(w.get("rc") == 0 for w in result["workers"])
+        and all(w.get("orbax_roundtrip_ok") for w in result["workers"])
     )
 
     os.makedirs(os.path.join(REPO, "runs"), exist_ok=True)
