@@ -464,11 +464,16 @@ def main():
     except Exception as e:
         print(f"train-step measurement failed: {e}", file=sys.stderr)
         train_ours = train_tunnel = float("nan")
-    try:
-        scene_s, scene_pts = bench_whole_scene(model, cfg)
-    except Exception as e:
-        print(f"whole-scene measurement failed: {e}", file=sys.stderr)
-        scene_s, scene_pts = float("nan"), 0
+    scene_s, scene_pts = float("nan"), 0
+    for attempt in range(2):  # tunnel compile-helper is occasionally flaky
+        try:
+            scene_s, scene_pts = bench_whole_scene(model, cfg)
+            break
+        except Exception as e:
+            print(
+                f"whole-scene measurement failed (attempt {attempt + 1}): {e}",
+                file=sys.stderr,
+            )
     try:
         base = bench_torch_oracle(model, cfg)
     except Exception as e:  # baseline failure must not kill the bench

@@ -114,6 +114,22 @@ def test_gated_knn_matches_reference(rng, small_gated_tiles, b, m, n, k):
 
 
 @pytest.mark.parametrize("b,m,n,k", [(2, 100, 1000, 3), (1, 37, 500, 4)])
+def test_vmem_knn_matches_reference(rng, small_gated_tiles, b, m, n, k):
+    """The VMEM-resident variant (use_vmem=True) is off the default dispatch
+    (measured a wash vs the demand kernel — runs/r5_vmem_knn_bench.json) but
+    stays available for sweeps; keep its exactness contract pinned."""
+    q = jnp.asarray(_rand_points(rng, b, m))
+    r = jnp.asarray(_rand_points(rng, b, n))
+    d_want, i_want = ref.knn(q, r, k)
+    with pltpu.force_tpu_interpret_mode():
+        d_got, i_got = pgated._knn_forward_demand(q, r, k, use_vmem=True)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(i_got), -1), np.sort(np.asarray(i_want), -1)
+    )
+    np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_want), atol=1e-5)
+
+
+@pytest.mark.parametrize("b,m,n,k", [(2, 100, 1000, 3), (1, 37, 500, 4)])
 def test_knn_prepared_matches_reference(rng, small_gated_tiles, b, m, n, k):
     """prepare_refs + knn_prepared == the fused gated call == reference:
     one prepared cloud must serve MANY query sets (the whole-scene
