@@ -104,25 +104,41 @@ def predict_scene_fused(
     prepared = prepare_fn(pixel_xyz)
 
     chunks = enumerate_scene_chunks(scene, cfg)
-    logits_acc = np.zeros((len(scene.points), cfg.data.num_classes), np.float32)
-    counts = np.zeros(len(scene.points), np.int32)
+    P = len(scene.points)
+    C = cfg.data.num_classes
     if not chunks:
+        logits_acc = np.zeros((P, C), np.float32)
+        counts = np.zeros(P, np.int32)
         nn_fill_uncovered(scene.points, logits_acc, counts)
         return logits_acc
 
+    import jax.numpy as jnp
+
+    @jax.jit
+    def accum(acc, cnt, logits, idx):
+        # on-device scatter-add of a chunk group's logits (round 5): the
+        # host no longer downloads per-group logits (33 MB at config-#4
+        # scale) or runs np.add.at — one D2H of the accumulator per scene
+        flat = idx.reshape(-1)
+        acc = acc.at[flat].add(logits.astype(jnp.float32).reshape(-1, C))
+        cnt = cnt.at[flat].add(1)
+        return acc, cnt
+
+    acc = jnp.zeros((P, C), jnp.float32)
+    cnt = jnp.zeros((P,), jnp.int32)
     for start in range(0, len(chunks), G):
         group = chunks[start : start + G]
-        n_real = len(group)
         # remainder groups run at their own shape (compile once per size)
         pts = np.stack([g[1] for g in group])  # (Gr, N, 3)
-        logits = np.asarray(
-            fuse_fn(state, jax.device_put(pts), prepared, pixel_xyz, pixel_feat),
-            dtype=np.float32,
+        idx = np.stack([g[0] for g in group]).astype(np.int32)  # (Gr, N)
+        logits = fuse_fn(
+            state, jax.device_put(pts), prepared, pixel_xyz, pixel_feat
         )
-        for i in range(n_real):
-            sel = group[i][0]
-            np.add.at(logits_acc, sel, logits[i])
-            np.add.at(counts, sel, 1)
+        acc, cnt = accum(acc, cnt, logits, jax.device_put(idx))
 
+    # np.array (not asarray): device buffers surface as READ-ONLY views
+    # and nn_fill_uncovered mutates in place
+    logits_acc = np.array(acc, dtype=np.float32)
+    counts = np.array(cnt, dtype=np.int32)
     nn_fill_uncovered(scene.points, logits_acc, counts)
     return logits_acc

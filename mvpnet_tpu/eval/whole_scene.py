@@ -140,8 +140,12 @@ def predict_scene(
     """Accumulated per-point logits (P, num_classes) for one scene.
 
     Host-side chunk building runs in a thread pool (see _iter_scene_samples)
-    and device forwards are dispatched one batch ahead of their D2H read, so
-    sample building, device compute, and logit accumulation all overlap."""
+    and logit accumulation happens ON DEVICE (round 5): each batch's logits
+    scatter-add into a device-resident (P, C) accumulator chained through
+    the dispatch queue, so the host never downloads per-batch logits or
+    runs np.add.at — one D2H of the final accumulator per scene. (The old
+    host path cost ~2.6 MB D2H + two np.add.at passes per batch; on fast
+    accelerators the host scatter was the bottleneck.)"""
     if forward_fn is None:
 
         @jax.jit
@@ -153,8 +157,8 @@ def predict_scene(
     centers = enumerate_chunk_centers(
         scene.points, cfg.data.chunk_size, cfg.data.chunk_stride
     )
-    logits_acc = np.zeros((len(scene.points), cfg.data.num_classes), np.float32)
-    counts = np.zeros(len(scene.points), np.int32)
+    P = len(scene.points)
+    C = cfg.data.num_classes
     if num_workers is None:
         # clamp to physical cores: on this 2-core dev host an 8-thread pool
         # measured 0.89-0.95x (contention), while real TPU hosts have the
@@ -163,20 +167,22 @@ def predict_scene(
     else:
         workers = num_workers
 
+    @jax.jit
+    def accum(acc, cnt, logits, idx):
+        # logits (B, N, C) f32, idx (B, N) int32; duplicate indices (chunk
+        # sampling with replacement) add correctly under .at[].add
+        flat = idx.reshape(-1)
+        acc = acc.at[flat].add(logits.astype(jnp.float32).reshape(-1, C))
+        cnt = cnt.at[flat].add(1)
+        return acc, cnt
+
+    acc = jnp.zeros((P, C), jnp.float32)
+    cnt = jnp.zeros((P,), jnp.int32)
+
     samples, idx_blocks = [], []
-    from collections import deque
-
-    inflight: deque = deque()  # (device logits, idx blocks) dispatched ahead
-
-    def drain_one():
-        dev, blocks = inflight.popleft()
-        logits = np.asarray(dev)
-        for i, pidx in enumerate(blocks):
-            np.add.at(logits_acc, pidx, logits[i])
-            np.add.at(counts, pidx, 1)
 
     def flush():
-        nonlocal samples, idx_blocks
+        nonlocal samples, idx_blocks, acc, cnt
         if not samples:
             return
         # run the remainder at its own (smaller) batch shape instead of
@@ -184,10 +190,9 @@ def predict_scene(
         # remainder size compiles once and is reused across scenes — every
         # forward computes only real windows (round-2 VERDICT weak #9)
         batch = jax.device_put(collate(samples))
-        inflight.append((forward_fn(batch), idx_blocks))
+        idx = jax.device_put(np.stack(idx_blocks).astype(np.int32))
+        acc, cnt = accum(acc, cnt, forward_fn(batch), idx)
         samples, idx_blocks = [], []
-        if len(inflight) > 1:  # keep one batch in flight on the device
-            drain_one()
 
     for s in _iter_scene_samples(scene, cfg, centers, workers):
         idx_blocks.append(s.pop("point_idx"))
@@ -197,9 +202,11 @@ def predict_scene(
         if len(samples) == batch_size:
             flush()
     flush()
-    while inflight:
-        drain_one()
 
+    # np.array (not asarray): device buffers surface as READ-ONLY views
+    # and nn_fill_uncovered mutates in place
+    logits_acc = np.array(acc, dtype=np.float32)
+    counts = np.array(cnt, dtype=np.int32)
     nn_fill_uncovered(scene.points, logits_acc, counts)
     return logits_acc
 
