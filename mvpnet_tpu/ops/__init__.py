@@ -199,7 +199,10 @@ def knn_prepare(refs, impl: str | None = None):
 def knn_prepared(queries, prepared, k: int, impl: str | None = None):
     """kNN against a knn_prepare() result; contract of reference.knn.
 
-    Inference-only (no gradient through the prepared path)."""
+    Differentiable: distance cotangents flow to the queries and — through
+    prepare_refs()'s jnp sort/gather — to the underlying refs (custom VJP in
+    ops/pallas/knn_bucketed.py; grad-parity-tested against the reference
+    kNN), so scene-level fine-tuning can train through the prepared path."""
     from mvpnet_tpu.ops.pallas import knn_bucketed as pallas_knn_gated
 
     if isinstance(prepared, pallas_knn_gated.PreparedRefs):
