@@ -194,6 +194,48 @@ def preprocess_scene(
     )
 
 
+def write_split_lists(raw: str, out: str, scans: list[str]) -> None:
+    """Materialize meta/scannetv2_{train,val,test}.txt for data/scannet.py.
+
+    The split lists are ScanNet distribution files (Tasks/Benchmark/ in the
+    official release), not derivable from the scans themselves; copy them if
+    the raw tree carries them. Otherwise fall back to a DETERMINISTIC
+    ~90/10 train/val split by scene number so the pipeline still runs —
+    with a loud warning, because mIoU measured on a non-official split is
+    not comparable to published numbers."""
+    import shutil
+
+    copied = set()
+    for split in ("train", "val", "test"):
+        dst = os.path.join(out, "meta", f"scannetv2_{split}.txt")
+        for cand in (
+            os.path.join(raw, f"scannetv2_{split}.txt"),
+            os.path.join(raw, "Tasks", "Benchmark", f"scannetv2_{split}.txt"),
+            os.path.join(raw, "splits", f"scannetv2_{split}.txt"),
+        ):
+            if os.path.exists(cand):
+                shutil.copyfile(cand, dst)
+                copied.add(split)
+                break
+    if {"train", "val"} <= copied:
+        return
+    print(
+        "WARNING: official scannetv2_{train,val}.txt not found in the raw "
+        "tree — writing a deterministic 90/10 fallback split. Do NOT quote "
+        "mIoU from this split against published numbers."
+    )
+    train, val = [], []
+    for sid in scans:
+        # scene0123_01 -> 123; every 10th scene number goes to val
+        digits = "".join(c for c in sid if c.isdigit())
+        (val if digits and int(digits[:4]) % 10 == 9 else train).append(sid)
+    for split, ids in (("train", train), ("val", val)):
+        if split in copied:
+            continue
+        with open(os.path.join(out, "meta", f"scannetv2_{split}.txt"), "w") as fh:
+            fh.write("\n".join(ids) + "\n")
+
+
 def main(argv=None):  # pragma: no cover - requires real ScanNet on disk
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--raw", required=True)
@@ -208,6 +250,7 @@ def main(argv=None):  # pragma: no cover - requires real ScanNet on disk
     raw_to_nyu = parse_label_mapping(args.tsv) if args.tsv else None
     scans = sorted(os.listdir(os.path.join(args.raw, "scans")))
     os.makedirs(os.path.join(args.out, "meta"), exist_ok=True)
+    write_split_lists(args.raw, args.out, scans)
     for i, scene_id in enumerate(scans):
         print(f"[{i + 1}/{len(scans)}] {scene_id}")
         preprocess_scene(

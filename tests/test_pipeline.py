@@ -288,6 +288,39 @@ def _write_fake_scan(raw: str, scene_id: str, rng):
     return xyz, nyu
 
 
+def test_write_split_lists(tmp_path):
+    """Official split lists are copied verbatim; otherwise a deterministic
+    fallback split is written so data/scannet.read_split always resolves
+    (the runbook previously broke at train time: preprocess created meta/
+    but never materialized the lists)."""
+    from mvpnet_tpu.data.preprocess import write_split_lists
+    from mvpnet_tpu.data.scannet import read_split
+
+    scans = [f"scene{i:04d}_00" for i in range(20)]
+
+    # fallback path: no official lists anywhere in the raw tree
+    raw, out = str(tmp_path / "raw1"), str(tmp_path / "out1")
+    os.makedirs(os.path.join(out, "meta"))
+    os.makedirs(raw)
+    write_split_lists(raw, out, scans)
+    tr, va = read_split(out, "train"), read_split(out, "val")
+    assert set(tr) | set(va) == set(scans) and not set(tr) & set(va)
+    assert va == ["scene0009_00", "scene0019_00"]  # deterministic %10==9
+
+    # official lists present: copied verbatim, fallback untouched
+    raw, out = str(tmp_path / "raw2"), str(tmp_path / "out2")
+    os.makedirs(os.path.join(raw, "Tasks", "Benchmark"))
+    os.makedirs(os.path.join(out, "meta"))
+    for split, ids in (("train", scans[:15]), ("val", scans[15:])):
+        with open(
+            os.path.join(raw, "Tasks", "Benchmark", f"scannetv2_{split}.txt"), "w"
+        ) as fh:
+            fh.write("\n".join(ids) + "\n")
+    write_split_lists(raw, out, scans)
+    assert read_split(out, "train") == scans[:15]
+    assert read_split(out, "val") == scans[15:]
+
+
 def test_preprocess_roundtrip(tmp_path, rng):
     """Raw scan layout -> preprocess npz -> load_scenes -> chunk batch."""
     from mvpnet_tpu.data.meta import nyu40_to_train
