@@ -229,6 +229,8 @@ def write_split_lists(raw: str, out: str, scans: list[str]) -> None:
         # scene0123_01 -> 123; every 10th scene number goes to val
         digits = "".join(c for c in sid if c.isdigit())
         (val if digits and int(digits[:4]) % 10 == 9 else train).append(sid)
+    if not val and len(train) > 1:  # tiny corpora: keep val non-empty
+        val.append(train.pop())
     for split, ids in (("train", train), ("val", val)):
         if split in copied:
             continue

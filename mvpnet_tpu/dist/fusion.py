@@ -112,5 +112,6 @@ def sharded_fusion_knn(
         mesh=mesh,
         in_specs=(P(SPACE_AXIS), P(SPACE_AXIS), P(SPACE_AXIS)),
         out_specs=(P(SPACE_AXIS), P(SPACE_AXIS), P(SPACE_AXIS)),
+        check_vma=False,  # Pallas calls inside (TPU path) carry no vma
     )
     return fn(points, pixel_xyz, pixel_feat)

@@ -115,6 +115,7 @@ def sharded_fusion_gather(mesh: Mesh, points, pixel_xyz, pixel_feat, k: int):
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=(spec, spec),
+        check_vma=False,  # Pallas calls inside (TPU path) carry no vma
     )(points, pixel_xyz, pixel_feat)
 
 

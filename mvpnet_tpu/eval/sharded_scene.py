@@ -122,6 +122,7 @@ def build_sharded_scene_fns(model, cfg: Config, mesh: Mesh):
             mesh=mesh,
             in_specs=(P(), P(SPACE_AXIS), P(SPACE_AXIS), P(SPACE_AXIS), P()),
             out_specs=(P(SPACE_AXIS), P(SPACE_AXIS)),
+            check_vma=False,  # Pallas calls inside (TPU path) carry no vma
         )
     )
     fuse_fn = jax.jit(
@@ -130,6 +131,7 @@ def build_sharded_scene_fns(model, cfg: Config, mesh: Mesh):
             mesh=mesh,
             in_specs=(P(), P(SPACE_AXIS), P(SPACE_AXIS), P(SPACE_AXIS)),
             out_specs=P(SPACE_AXIS),
+            check_vma=False,  # Pallas calls inside (TPU path) carry no vma
         )
     )
     return state, pixel_fn, fuse_fn

@@ -86,6 +86,11 @@ def _batch_local(fn, *arrays):
         mesh=_data_mesh,
         in_specs=tuple(spec for _ in arrays),
         out_specs=spec,
+        # Pallas calls inside (the TPU path) emit outputs without vma
+        # metadata, which JAX 0.9's default check_vma=True rejects — found
+        # by the real-chip sharded-eval smoke drive (CPU tests dispatch to
+        # the jnp reference and never hit it)
+        check_vma=False,
     )(*arrays)
 
 

@@ -71,6 +71,10 @@ def main():
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--skip-2d", action="store_true",
                     help="reuse an existing outputs/sem_seg_2d checkpoint")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny step counts + small shapes: validates the "
+                    "whole chain end-to-end in minutes (e.g. on a fake or "
+                    "partial raw tree) without a day of training")
     args = ap.parse_args()
 
     plan = [
@@ -102,11 +106,26 @@ def main():
         print("preprocess: already done, skipping")
 
     common = [f"data.root={args.out}"]
+    # smoke runs live in their own output tree + artifact names so a later
+    # REAL run never auto-resumes from smoke checkpoints or overwrites the
+    # parity artifacts of record
+    prefix = "outputs/runbook_smoke" if args.smoke else "outputs"
+    tag = "scannet_smoke" if args.smoke else "scannet"
+    out2d = f"{prefix}/sem_seg_2d"
+    out3d = f"{prefix}/mvpnet_3d"
+    if args.smoke:
+        common += [
+            "train.max_steps=30", "train.val_every=30", "train.val_steps=2",
+            "train.ckpt_every=30", "train.log_every=10",
+            "data.num_points=2048", "data.max_candidate_frames=8",
+            "train.batch_size=4",
+        ]
 
     # 2. 2D pretraining
     if not args.skip_2d:
         cmd = [py, "-m", "mvpnet_tpu.cli.train_2d", "--cfg",
-               "configs/scannet/sem_seg_2d_unet_resnet34.yaml"] + common
+               "configs/scannet/sem_seg_2d_unet_resnet34.yaml"] + common + [
+               f"output_dir={out2d}"]
         if args.resnet34_weights:
             cmd += [f"model.unet.torch_weights={args.resnet34_weights}",
                     "train.max_steps=40000"]
@@ -115,7 +134,8 @@ def main():
     # 3. 3D fusion training (warm-started; auto-resumes)
     run(
         [py, "-m", "mvpnet_tpu.cli.train_3d", "--cfg",
-         "configs/scannet/mvpnet_3d_unet_resnet34_pn2ssg.yaml"] + common,
+         "configs/scannet/mvpnet_3d_unet_resnet34_pn2ssg.yaml"] + common + [
+         f"output_dir={out3d}", f"model.pretrained_2d={out2d}/checkpoints"],
         os.path.join(logs, "train_3d.log"),
     )
 
@@ -127,7 +147,7 @@ def main():
         log_path = os.path.join(logs, f"test_3d_{mode}.log")
         cmd = [py, "-m", "mvpnet_tpu.cli.test_3d", "--cfg",
                "configs/scannet/mvpnet_3d_unet_resnet34_pn2ssg.yaml",
-               *flags, *common]
+               *flags, *common, f"output_dir={out3d}"]
         run(cmd, log_path)
         with open(log_path) as fh:
             for line in fh:
@@ -137,7 +157,7 @@ def main():
                         results[mode] = json.loads(line)
                     except json.JSONDecodeError:
                         pass
-        out_json = os.path.join(REPO, "runs", f"scannet_eval_{mode}.json")
+        out_json = os.path.join(REPO, "runs", f"{tag}_eval_{mode}.json")
         if mode in results:
             with open(out_json, "w") as fh:
                 json.dump(results[mode], fh, indent=2)
@@ -151,10 +171,13 @@ def main():
         "measured": mious,
         "best_miou": best,
         "parity_pass": (best is not None and best >= REFERENCE_VAL_MIOU - PARITY_MARGIN),
+        "smoke": bool(args.smoke),
         "note": "re-ground REFERENCE_VAL_MIOU from the paper's val table before "
-                "quoting the gate (SURVEY.md §6 [A] tag)",
+                "quoting the gate (SURVEY.md §6 [A] tag)"
+                + ("; SMOKE run — chain validation only, not a parity claim"
+                   if args.smoke else ""),
     }
-    with open(os.path.join(REPO, "runs", "scannet_parity.json"), "w") as fh:
+    with open(os.path.join(REPO, "runs", f"{tag}_parity.json"), "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps(report, indent=2))
 
