@@ -221,7 +221,25 @@ def bench_ours_train(model, cfg):
     t0 = time.perf_counter()
     _ = np.asarray(rolled_jit(st0, batch, key, TRAIN_ITERS))
     dt_device = (time.perf_counter() - t0) / TRAIN_ITERS
-    return B_TRAIN / dt_device, B_TRAIN / dt_tunnel
+
+    # realistic-geometry variant (see bench_ours): surface pixel clouds
+    # prune ~14% better in the fusion kNN than the series batch's
+    # volume-random clouds (measured 110 vs 97 chunks/s)
+    raw = build_realistic_batch(np.random.default_rng(0))
+    # reshape the eval-shaped realistic batch to train shapes (B_TRAIN x
+    # V_TRAIN): resample frames from the same scene
+    raw = {
+        k: (v[:, :V_TRAIN] if k in ("images", "depth", "poses", "seg_label_2d") else v)
+        for k, v in raw.items()
+    }
+    reps = (B_TRAIN + B - 1) // B
+    raw = {k: np.concatenate([v] * reps, axis=0)[:B_TRAIN] for k, v in raw.items()}
+    batch_r = jax.device_put(raw)
+    _ = np.asarray(rolled_jit(st0, batch_r, key, TRAIN_ITERS))
+    t0 = time.perf_counter()
+    _ = np.asarray(rolled_jit(st0, batch_r, key, TRAIN_ITERS))
+    dt_real = (time.perf_counter() - t0) / TRAIN_ITERS
+    return B_TRAIN / dt_device, B_TRAIN / dt_tunnel, B_TRAIN / dt_real
 
 
 def bench_torch_train(model, cfg) -> float:
@@ -500,10 +518,10 @@ def bench_whole_scene(model, cfg):
 def main():
     ours, ours_tunnel, ours_realistic, model, cfg = bench_ours()
     try:
-        train_ours, train_tunnel = bench_ours_train(model, cfg)
+        train_ours, train_tunnel, train_realistic = bench_ours_train(model, cfg)
     except Exception as e:
         print(f"train-step measurement failed: {e}", file=sys.stderr)
-        train_ours = train_tunnel = float("nan")
+        train_ours = train_tunnel = train_realistic = float("nan")
     scene_s, scene_pts = float("nan"), 0
     for attempt in range(2):  # tunnel compile-helper is occasionally flaky
         try:
@@ -583,6 +601,11 @@ def main():
                 ),
                 "train_tunnel_chunks_per_sec": (
                     round(train_tunnel, 2) if np.isfinite(train_tunnel) else None
+                ),
+                "train_realistic_chunks_per_sec": (
+                    round(train_realistic, 2)
+                    if np.isfinite(train_realistic)
+                    else None
                 ),
                 "train_vs_baseline": train_vs,
                 # the honest scene walk: measured s/scene through the real
