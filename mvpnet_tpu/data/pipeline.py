@@ -445,7 +445,12 @@ def build_dataset(cfg: DataConfig, *, batch_size: int, training: bool, seed: int
         n_scenes = cfg.synthetic_scenes if training else max(cfg.synthetic_scenes // 2, 2)
         scenes = [
             make_scene(
-                seed=seed * 1000 + i + (0 if training else 500),
+                # train/val seed spaces must stay disjoint for ANY scene
+                # count: interleave (even=train, odd=val) instead of a
+                # +500 offset, which collided once synthetic_scenes
+                # became configurable (>500 scenes duplicated val scenes
+                # into the train split).
+                seed=seed * 1_000_000 + 2 * i + (0 if training else 1),
                 height=cfg.image_height,
                 width=cfg.image_width,
                 num_classes=cfg.num_classes,

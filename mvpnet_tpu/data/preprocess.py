@@ -219,18 +219,33 @@ def write_split_lists(raw: str, out: str, scans: list[str]) -> None:
                 break
     if {"train", "val"} <= copied:
         return
+    missing = [s for s in ("train", "val") if s not in copied]
     print(
-        "WARNING: official scannetv2_{train,val}.txt not found in the raw "
-        "tree — writing a deterministic 90/10 fallback split. Do NOT quote "
-        "mIoU from this split against published numbers."
+        f"WARNING: official scannetv2_{{{','.join(missing)}}}.txt not found "
+        "in the raw tree — writing a deterministic fallback for the missing "
+        "split(s). Do NOT quote mIoU from a fallback split against "
+        "published numbers."
     )
-    train, val = [], []
-    for sid in scans:
-        # scene0123_01 -> 123; every 10th scene number goes to val
-        digits = "".join(c for c in sid if c.isdigit())
-        (val if digits and int(digits[:4]) % 10 == 9 else train).append(sid)
-    if not val and len(train) > 1:  # tiny corpora: keep val non-empty
-        val.append(train.pop())
+    # Scenes already claimed by a COPIED official list must not reappear in
+    # a fallback list — otherwise a raw tree carrying only one of the two
+    # lists would get a train/val overlap (data leak inflating val mIoU).
+    claimed = set()
+    for split in copied:
+        with open(os.path.join(out, "meta", f"scannetv2_{split}.txt")) as fh:
+            claimed.update(line.strip() for line in fh if line.strip())
+    pool = [sid for sid in scans if sid not in claimed]
+    if len(missing) == 1:
+        # one official list exists: everything it didn't claim belongs to
+        # the other split — no re-splitting (which would drop scenes).
+        train = val = pool
+    else:
+        train, val = [], []
+        for sid in pool:
+            # scene0123_01 -> 123; every 10th scene number goes to val
+            digits = "".join(c for c in sid if c.isdigit())
+            (val if digits and int(digits[:4]) % 10 == 9 else train).append(sid)
+        if not val and len(train) > 1:  # tiny corpora: keep val non-empty
+            val.append(train.pop())
     for split, ids in (("train", train), ("val", val)):
         if split in copied:
             continue

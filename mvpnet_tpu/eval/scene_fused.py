@@ -114,15 +114,11 @@ def predict_scene_fused(
 
     import jax.numpy as jnp
 
-    @jax.jit
-    def accum(acc, cnt, logits, idx):
-        # on-device scatter-add of a chunk group's logits (round 5): the
-        # host no longer downloads per-group logits (33 MB at config-#4
-        # scale) or runs np.add.at — one D2H of the accumulator per scene
-        flat = idx.reshape(-1)
-        acc = acc.at[flat].add(logits.astype(jnp.float32).reshape(-1, C))
-        cnt = cnt.at[flat].add(1)
-        return acc, cnt
+    # on-device scatter-add of a chunk group's logits (round 5): the host
+    # no longer downloads per-group logits (33 MB at config-#4 scale) or
+    # runs np.add.at — one D2H of the accumulator per scene. Module-level
+    # jit so nothing recompiles per scene.
+    from mvpnet_tpu.eval.whole_scene import accum_scene_logits as accum
 
     acc = jnp.zeros((P, C), jnp.float32)
     cnt = jnp.zeros((P,), jnp.int32)

@@ -34,6 +34,24 @@ def enumerate_chunk_centers(points: np.ndarray, chunk_size: float, stride: float
     return np.stack(np.meshgrid(xs, ys, indexing="ij"), axis=-1).reshape(-1, 2)
 
 
+@jax.jit
+def accum_scene_logits(acc, cnt, logits, idx):
+    """On-device scatter-add of chunk logits onto the scene accumulator.
+
+    logits (B, N, C), idx (B, N) int32; duplicate indices (chunk sampling
+    with replacement) add correctly under ``.at[].add``. Module-level jit:
+    per-scene closures would each carry a fresh compile cache, costing one
+    recompile per scene over the (slow) dev tunnel on a 312-scene val walk —
+    here only genuinely new (P, B, N, C) shapes compile.
+    """
+    flat = idx.reshape(-1)
+    acc = acc.at[flat].add(
+        logits.astype(jnp.float32).reshape(-1, logits.shape[-1])
+    )
+    cnt = cnt.at[flat].add(1)
+    return acc, cnt
+
+
 class Evaluator:
     """Confusion-matrix accumulator -> per-class IoU / mIoU / accuracy."""
 
@@ -167,15 +185,7 @@ def predict_scene(
     else:
         workers = num_workers
 
-    @jax.jit
-    def accum(acc, cnt, logits, idx):
-        # logits (B, N, C) f32, idx (B, N) int32; duplicate indices (chunk
-        # sampling with replacement) add correctly under .at[].add
-        flat = idx.reshape(-1)
-        acc = acc.at[flat].add(logits.astype(jnp.float32).reshape(-1, C))
-        cnt = cnt.at[flat].add(1)
-        return acc, cnt
-
+    accum = accum_scene_logits
     acc = jnp.zeros((P, C), jnp.float32)
     cnt = jnp.zeros((P,), jnp.int32)
 

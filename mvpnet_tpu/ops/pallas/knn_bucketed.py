@@ -624,8 +624,11 @@ def _unmap(d_s, i_s, q_order, r_order, M, N):
     return d, i
 
 
-# below this ref count the sorted cloud is VMEM-resident (<=2 MB + the
-# sublane pad; _vmem_kernel) — no per-visit DMA machinery
+# cap for the EXPLICIT use_vmem=True path: above this ref count the sorted
+# cloud (>2 MB + sublane pad) no longer fits VMEM alongside the working
+# tiles. NOT a dispatch threshold — the demand kernel is the production
+# path at every size (runs/r5_vmem_knn_bench.json: the vmem variant is a
+# wash; per-visit cost is predication, not DMA).
 _VMEM_N_MAX = 1 << 17
 _VMEM_TILE_M = 64
 _VMEM_TILE_N = 1024
@@ -647,6 +650,11 @@ def _knn_forward_demand(
         # vmem kernel remains available for sweeps.
         use_vmem = False
     if use_vmem:
+        if N > _VMEM_N_MAX:
+            raise ValueError(
+                f"use_vmem=True needs the ref cloud VMEM-resident: "
+                f"N={N} > {_VMEM_N_MAX}"
+            )
         tile_m = tile_m or min(_VMEM_TILE_M, max(_SUB, M))
         tile_n = tile_n or _VMEM_TILE_N
         sub_gate = False

@@ -320,6 +320,22 @@ def test_write_split_lists(tmp_path):
     assert read_split(out, "train") == scans[:15]
     assert read_split(out, "val") == scans[15:]
 
+    # only ONE official list present: the fallback for the missing split
+    # must exclude every scene claimed by the copied list (no train/val leak)
+    raw, out = str(tmp_path / "raw3"), str(tmp_path / "out3")
+    os.makedirs(os.path.join(raw, "Tasks", "Benchmark"))
+    os.makedirs(os.path.join(out, "meta"))
+    official_val = scans[15:]
+    with open(
+        os.path.join(raw, "Tasks", "Benchmark", "scannetv2_val.txt"), "w"
+    ) as fh:
+        fh.write("\n".join(official_val) + "\n")
+    write_split_lists(raw, out, scans)
+    tr, va = read_split(out, "train"), read_split(out, "val")
+    assert va == official_val  # copied verbatim
+    assert not set(tr) & set(va)  # the leak this guards against
+    assert set(tr) == set(scans[:15])  # everything the official list left
+
 
 def test_preprocess_roundtrip(tmp_path, rng):
     """Raw scan layout -> preprocess npz -> load_scenes -> chunk batch."""

@@ -18,7 +18,8 @@ perturbed by the carry — round 4 only perturbed `points`, so the net2d
 stage (which doesn't consume points) could be CSE'd/DCE'd across loop
 iterations and its marginal read an implausible 0.07 ms while the
 standalone segment measured 8.4 ms. Perturbing `images` as well forces the
-2D net to actually run every iteration.
+2D net to actually run every iteration; `depth`/`poses` are perturbed too
+so the lift inside prepare_batch can't be hoisted out of the loop either.
 
 Run on the TPU host: python tools/eval_marginals.py
 Writes runs/r5_eval_marginals.json.
@@ -106,9 +107,14 @@ def main():
             def body(i, carry):
                 b = dict(batch)
                 # perturb EVERY consumed input so no stage can be hoisted
-                # out of the loop (see module docstring)
+                # out of the loop (see module docstring) — including the
+                # lift's inputs (depth/poses), or prepare_batch's
+                # unprojection is loop-invariant and XLA hoists it, the
+                # exact artifact this tool exists to avoid.
                 b["points"] = batch["points"] + carry * 1e-30
                 b["images"] = batch["images"] + carry * 1e-30
+                b["depth"] = batch["depth"] + carry * 1e-30
+                b["poses"] = batch["poses"] + carry * 1e-30
                 return stage(level, state, b)
 
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))

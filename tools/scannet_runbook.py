@@ -45,7 +45,14 @@ REFERENCE_VAL_MIOU = 0.665
 PARITY_MARGIN = 0.005  # BASELINE.md: within 0.5 pts
 
 
-def run(cmd, log_path):
+def run(cmd, log_path, marker=None):
+    """Run one stage. With ``marker``, a prior completed run (marker file
+    present) is skipped — this is what makes stages 2-5 resumable, not just
+    preprocess: a crash in the eval stage no longer re-pays hours of
+    (already-orbax-complete) training or re-runs finished eval modes."""
+    if marker is not None and stage_done(marker):
+        print(f"{os.path.basename(marker)}: already done, skipping", flush=True)
+        return
     print(f"+ {' '.join(cmd)}  (log: {log_path})", flush=True)
     t0 = time.time()
     with open(log_path, "a") as log:
@@ -53,6 +60,9 @@ def run(cmd, log_path):
     dt = time.time() - t0
     if rc != 0:
         raise SystemExit(f"stage failed (rc={rc}, {dt:.0f}s): {' '.join(cmd)}; see {log_path}")
+    if marker is not None:
+        with open(marker, "w") as fh:
+            fh.write(f"done {time.strftime('%Y-%m-%dT%H:%M:%S')}\n")
     print(f"  done in {dt / 60:.1f} min", flush=True)
 
 
@@ -127,9 +137,15 @@ def main():
                "configs/scannet/sem_seg_2d_unet_resnet34.yaml"] + common + [
                f"output_dir={out2d}"]
         if args.resnet34_weights:
-            cmd += [f"model.unet.torch_weights={args.resnet34_weights}",
-                    "train.max_steps=40000"]
-        run(cmd, os.path.join(logs, "train_2d.log"))
+            cmd += [f"model.unet.torch_weights={args.resnet34_weights}"]
+            if not args.smoke:
+                # warm-started: shorten from the 100k-step from-scratch
+                # schedule. NEVER under --smoke — the override list is
+                # last-wins and this used to silently turn a minutes-long
+                # smoke into a 40k-step training run.
+                cmd += ["train.max_steps=40000"]
+        run(cmd, os.path.join(logs, "train_2d.log"),
+            marker=os.path.join(logs, f".{tag}_train_2d.done"))
 
     # 3. 3D fusion training (warm-started; auto-resumes)
     run(
@@ -137,6 +153,7 @@ def main():
          "configs/scannet/mvpnet_3d_unet_resnet34_pn2ssg.yaml"] + common + [
          f"output_dir={out3d}", f"model.pretrained_2d={out2d}/checkpoints"],
         os.path.join(logs, "train_3d.log"),
+        marker=os.path.join(logs, f".{tag}_train_3d.done"),
     )
 
     # 4. whole-scene eval, three estimator modes (test_3d prints its result
@@ -144,6 +161,14 @@ def main():
     results = {}
     for mode, flags in (("chunkviews", []), ("fused", ["--fused"]),
                         ("sharded", ["--sharded"])):
+        out_json = os.path.join(REPO, "runs", f"{tag}_eval_{mode}.json")
+        if os.path.exists(out_json):
+            # resumable: a finished eval mode's artifact is its marker
+            with open(out_json) as fh:
+                results[mode] = json.load(fh)
+            print(f"test_3d[{mode}]: already done ({out_json}), skipping",
+                  flush=True)
+            continue
         log_path = os.path.join(logs, f"test_3d_{mode}.log")
         cmd = [py, "-m", "mvpnet_tpu.cli.test_3d", "--cfg",
                "configs/scannet/mvpnet_3d_unet_resnet34_pn2ssg.yaml",
@@ -157,7 +182,6 @@ def main():
                         results[mode] = json.loads(line)
                     except json.JSONDecodeError:
                         pass
-        out_json = os.path.join(REPO, "runs", f"{tag}_eval_{mode}.json")
         if mode in results:
             with open(out_json, "w") as fh:
                 json.dump(results[mode], fh, indent=2)
